@@ -1,0 +1,136 @@
+"""Backbone cluster extraction and Houdayer disagreement clusters.
+
+Irregular, data-dependent-shape graph work stays OFF the jit hot path:
+these run on the host (numpy/scipy) on tiny inputs pulled from device
+(marginal vectors, spin states), exactly as SURVEY.md prescribes. A
+fixed-iteration device-side label-propagation variant is provided for the
+Houdayer move at large N.
+
+Semantics match:
+  * find_clusters (/root/reference/NMC/nmc.py:257-318): seeds are spins with
+    |marginal| >= threshold_initial; each unclaimed seed starts a cluster
+    together with its direct J-neighbors that are also seeds; then the
+    threshold decays by threshold_step down to threshold_cutoff, each pass
+    absorbing yet-unclaimed neighbors above the current threshold. (With the
+    reference's shipped defaults the growth loop body never executes — that
+    quirk is preserved since it follows from the same arithmetic.)
+  * find_disagreement_clusters (/root/reference/NPT/apt_ICM.py:116-143):
+    connected components of the J-adjacency subgraph induced on spins where
+    s1_i * s2_i == -1.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import connected_components
+
+import jax
+import jax.numpy as jnp
+
+
+def find_clusters(
+    J: np.ndarray,
+    magnetizations: np.ndarray,
+    threshold_initial: float,
+    threshold_cutoff: float,
+    threshold_step: float = 0.01,
+) -> List[np.ndarray]:
+    """Backbone clusters from LBP marginals (host-side).
+
+    Returns a list of int index arrays (possibly overlapping the way the
+    reference's are not — claimed spins are excluded exactly as there).
+    """
+    J = np.asarray(J.toarray() if hasattr(J, "toarray") else J)
+    mag = np.asarray(magnetizations).reshape(-1)
+    n = mag.shape[0]
+    is_seed = np.abs(mag) >= threshold_initial
+    claimed = np.zeros(n, dtype=bool)
+    clusters: List[np.ndarray] = []
+
+    for seed in np.flatnonzero(is_seed):
+        if claimed[seed]:
+            continue
+        nbrs = J[seed] != 0
+        grab = nbrs & is_seed & ~claimed
+        grab[seed] = True
+        members = np.flatnonzero(grab)
+        # keep the seed first, like the reference's np.append(seed, common)
+        members = np.concatenate(([seed], members[members != seed]))
+        claimed[members] = True
+        clusters.append(members)
+
+    threshold = threshold_initial - threshold_step
+    while threshold > threshold_cutoff:
+        for i, cluster in enumerate(clusters):
+            nbrs = np.any(J[cluster] != 0, axis=0) & ~claimed
+            grow = np.flatnonzero(nbrs & (np.abs(mag) >= threshold))
+            if grow.size:
+                claimed[grow] = True
+                clusters[i] = np.concatenate([cluster, grow])
+        threshold -= threshold_step
+
+    return clusters
+
+
+def flatten_clusters(clusters: List[np.ndarray]) -> np.ndarray:
+    """Concatenate cluster index arrays (/root/reference/NMC/nmc.py:373)."""
+    if not clusters:
+        return np.array([], dtype=np.int64)
+    return np.concatenate(clusters).astype(np.int64)
+
+
+def cluster_mask(n: int, clusters: List[np.ndarray] | np.ndarray) -> np.ndarray:
+    """Boolean membership mask [n] from clusters or a flat index array."""
+    mask = np.zeros(n, dtype=bool)
+    flat = clusters if isinstance(clusters, np.ndarray) else flatten_clusters(clusters)
+    mask[flat.astype(np.int64)] = True
+    return mask
+
+
+def disagreement_clusters(
+    J: np.ndarray, s1: np.ndarray, s2: np.ndarray
+) -> List[np.ndarray]:
+    """Houdayer clusters: connected components where s1*s2 == -1 (host).
+
+    Same output set as the reference's BFS
+    (/root/reference/NPT/apt_ICM.py:116-143), computed with
+    scipy.sparse.csgraph.connected_components.
+    """
+    s1 = np.asarray(s1).reshape(-1)
+    s2 = np.asarray(s2).reshape(-1)
+    diff = np.flatnonzero(s1 * s2 == -1)
+    if diff.size == 0:
+        return []
+    J = np.asarray(J.toarray() if hasattr(J, "toarray") else J)
+    sub = csr_matrix((J[np.ix_(diff, diff)] != 0).astype(np.int8))
+    ncomp, labels = connected_components(sub, directed=False)
+    return [diff[labels == c] for c in range(ncomp)]
+
+
+def disagreement_labels_device(
+    J: jax.Array, s1: jax.Array, s2: jax.Array, num_iters: int = 32
+) -> jax.Array:
+    """Device-side min-label propagation over the disagreement subgraph.
+
+    Returns labels [N]: spins agreeing get N; disagreeing spins get the
+    minimum disagreeing spin index reachable within `num_iters` hops of
+    their component (exact when num_iters >= component diameter). Keeps the
+    Houdayer move jittable for large N where host BFS would bottleneck.
+    """
+    n = s1.shape[0]
+    adj = (J != 0)
+    diff = (s1 * s2) < 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    labels0 = jnp.where(diff, idx, jnp.int32(n))
+
+    adj_diff = adj & diff[None, :] & diff[:, None]
+
+    def body(_, labels):
+        big = jnp.int32(n)
+        nbr_min = jnp.min(jnp.where(adj_diff, labels[None, :], big), axis=1)
+        return jnp.where(diff, jnp.minimum(labels, nbr_min), big)
+
+    return jax.lax.fori_loop(0, num_iters, body, labels0)

@@ -1,0 +1,142 @@
+"""LBP stack: exactness on trees, parity with the reference implementation."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmc_tpu.ops.clusters import (disagreement_clusters, find_clusters,
+                                  flatten_clusters)
+from nmc_tpu.ops.lbp import (convexification_epsilon, lambda_ladder,
+                             lbp_convexified, loopy_belief_propagation)
+
+
+def tree_instance(rng, n=7):
+    J = np.zeros((n, n))
+    edges = [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5), (2, 6)][: n - 1]
+    for i, j in edges:
+        w = rng.normal() * 0.5
+        J[i, j] = J[j, i] = w
+    h = rng.normal(size=n) * 0.3
+    return J, h
+
+
+def test_lbp_exact_on_tree(rng):
+    J, h = tree_instance(rng)
+    beta = 0.7
+    n = J.shape[0]
+    states = np.array(list(itertools.product([-1, 1], repeat=n)), float)
+    E = -(0.5 * np.sum(states * (states @ J), axis=1) + states @ h)
+    p = np.exp(-beta * E)
+    p /= p.sum()
+    exact_mag = p @ states
+
+    res = loopy_belief_propagation(
+        jnp.asarray(J), jnp.asarray(h), beta,
+        jnp.zeros((n, n)), jnp.zeros((n, n)), 1e-12, max_iterations=200,
+    )
+    np.testing.assert_allclose(np.asarray(res.magnetizations), exact_mag,
+                               atol=1e-10)
+
+
+def test_lbp_parity_with_reference(rng, reference_nmc):
+    J, h = tree_instance(rng)
+    n = J.shape[0]
+    beta = 0.7
+    res = loopy_belief_propagation(
+        jnp.asarray(J), jnp.asarray(h), beta,
+        jnp.zeros((n, n)), jnp.zeros((n, n)), 1e-12, max_iterations=200,
+    )
+    ref = reference_nmc.NMC(J.copy(), h.copy())
+    mags, corrs, h_t, J_t, it, h_m, u_m = ref.LoopyBeliefPropagation(
+        J, h.copy(), beta, np.zeros((n, n)), np.zeros((n, n)), 1e-12, 200)
+    assert int(res.iterations) == it
+    np.testing.assert_allclose(np.asarray(res.magnetizations), mags, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(res.correlations), corrs, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(res.h_tilde), h_t, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.J_tilde), J_t, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.u_msgs), u_m, atol=1e-13)
+
+
+def test_lambda_ladder_matches_reference_loop():
+    lam, ladder = 0.5, []
+    while lam >= 0.01:
+        ladder.append(lam)
+        lam *= 0.9
+        if round(lam, 6) == 0:
+            break
+    assert lambda_ladder(0.5, 0.01, 0.9) == ladder
+
+
+def test_convexified_parity_with_reference(rng, reference_nmc):
+    J, h = tree_instance(rng)
+    beta = 2.5
+    eps = convexification_epsilon(J, h)
+    m_star = np.sign(rng.normal(size=J.shape[0]))
+    out = lbp_convexified(
+        jnp.asarray(J), jnp.asarray(h), beta, m_star, eps,
+        lambda_start=0.5, lambda_end=0.01, lambda_reduction_factor=0.9,
+        tolerance=1e-10, max_iterations=200,
+    )
+    ref = reference_nmc.NMC(J.copy(), h.copy())
+    _, marg_ref, mean_ref, _, _ = ref.LBP_convexified(
+        0.5, 0.01, 0.9, m_star.copy(), eps, 1e-10, 200, 0.999999, 0.99999, beta)
+    lams = list(marg_ref.keys())
+    assert np.allclose(lams, list(out.marginals_all.keys()))
+    np.testing.assert_allclose(out.marginal, marg_ref[lams[-1]], atol=1e-13)
+    for lam in lams:
+        np.testing.assert_allclose(out.marginals_all[lam], marg_ref[lam],
+                                   atol=1e-13)
+
+
+def test_find_clusters_parity(rng, reference_nmc):
+    J, h = tree_instance(rng)
+    ref = reference_nmc.NMC(J.copy(), h.copy())
+    for trial in range(5):
+        mag = np.tanh(3 * rng.normal(size=J.shape[0]))
+        ours = find_clusters(J, mag, 0.6, 0.3, 0.01)
+        theirs = ref.find_clusters(mag, 0.6, 0.3, 0.01)
+        assert [sorted(c.tolist()) for c in ours] == \
+               [sorted(np.asarray(c).astype(int).tolist()) for c in theirs]
+
+
+def test_find_clusters_default_thresholds_noop_growth(rng):
+    # Reference quirk: defaults (0.999999 initial, 0.99999 cutoff, 0.01 step)
+    # make the growth loop a no-op; preserve it.
+    J, _ = tree_instance(rng)
+    mag = np.ones(J.shape[0]) * 0.9999995
+    clusters = find_clusters(J, mag, 0.999999, 0.99999, 0.01)
+    flat = flatten_clusters(clusters)
+    assert sorted(flat.tolist()) == list(range(J.shape[0]))
+
+
+def test_disagreement_clusters_parity(rng, reference_icm):
+    J, h = tree_instance(rng)
+    ref = reference_icm.APT_ICM(J.copy(), h.copy())
+    for trial in range(5):
+        s1 = np.sign(rng.normal(size=J.shape[0]))
+        s2 = np.sign(rng.normal(size=J.shape[0]))
+        ours = sorted(tuple(sorted(c.tolist())) for c in
+                      disagreement_clusters(J, s1, s2))
+        theirs = sorted(tuple(sorted(c)) for c in
+                        ref.find_disagreement_clusters(s1, s2, J))
+        assert ours == theirs
+
+
+def test_disagreement_labels_device_matches_host(rng):
+    from nmc_tpu.ops.clusters import disagreement_labels_device
+    J, _ = tree_instance(rng)
+    n = J.shape[0]
+    s1 = np.sign(rng.normal(size=n))
+    s2 = np.sign(rng.normal(size=n))
+    labels = np.asarray(disagreement_labels_device(
+        jnp.asarray(J), jnp.asarray(s1), jnp.asarray(s2)))
+    host = disagreement_clusters(J, s1, s2)
+    # same partition: spins sharing a device label <=> same host cluster
+    by_label = {}
+    for i in range(n):
+        if labels[i] < n:
+            by_label.setdefault(labels[i], []).append(i)
+    assert sorted(tuple(v) for v in by_label.values()) == \
+           sorted(tuple(sorted(c.tolist())) for c in host)
