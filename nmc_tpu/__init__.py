@@ -1,0 +1,43 @@
+"""nmc_tpu — TPU-native Nonlocal Monte Carlo framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+usra-riacs/Nonlocal-Monte-Carlo (reference at /root/reference): NMC
+(nonlocal Monte Carlo with LBP backbone clusters), the APT beta-schedule
+preprocessor, NPT (replica exchange with NMC on selected replicas), and the
+APT+ICM Houdayer baseline — built on one blocked heat-bath Gibbs sweep
+kernel with cached local fields, batched replicas/chains, and
+mesh-sharded ensembles.
+
+Reference-compatible class shims (NMC, NPT, APT_preprocessor, APT_ICM) live
+in nmc_tpu.compat.
+"""
+
+from .core.energy import energy, energy_from_fields, local_fields
+from .core.problem import BlockedProblem, IsingProblem, block_problem
+from .models.apt import APTConfig, APTResult, apt_preprocess
+from .models.apt_icm import APTICMConfig, APTICMResult, apt_icm_run
+from .models.nmc import NMCConfig, NMCResult, nmc_run, nmc_subroutine
+from .models.npt import NPTConfig, NPTResult, npt_run
+from .ops.coloring import color_groups, greedy_coloring, num_colors
+from .ops.engine import SweepEngine
+from .ops.lbp import (atanh_saturated, convexification_epsilon,
+                      lbp_convexified, loopy_belief_propagation)
+from .ops.clusters import (cluster_mask, disagreement_clusters, find_clusters,
+                           flatten_clusters)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "IsingProblem", "BlockedProblem", "block_problem",
+    "energy", "energy_from_fields", "local_fields",
+    "SweepEngine",
+    "NMCConfig", "NMCResult", "nmc_run", "nmc_subroutine",
+    "NPTConfig", "NPTResult", "npt_run",
+    "APTConfig", "APTResult", "apt_preprocess",
+    "APTICMConfig", "APTICMResult", "apt_icm_run",
+    "loopy_belief_propagation", "lbp_convexified", "atanh_saturated",
+    "convexification_epsilon",
+    "find_clusters", "flatten_clusters", "cluster_mask",
+    "disagreement_clusters",
+    "greedy_coloring", "color_groups", "num_colors",
+]

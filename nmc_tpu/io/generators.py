@@ -1,0 +1,160 @@
+"""Benchmark-instance generators (host-side, numpy).
+
+Covers the BASELINE.json evaluation configs:
+  1. random SK instances (J ~ N(0,1) symmetric, zero diag),
+  2. 2D +/-J spin glasses on a torus,
+  3. 3D Edwards-Anderson glasses,
+  4. Wishart planted instances (planted ground state known by construction),
+  5. the reference's contrived 'Wishart backbone + binary trees' ensemble
+     (/root/reference/NMC/examples/contrived_wishart_backbone/
+      contrived_instance_generator.py — re-designed, not translated:
+      a dense planted Wishart core, two-level binary trees hanging off each
+      core spin, and sparse random cross links).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.problem import IsingProblem
+
+
+def random_sk(n: int, seed: int = 0, h_scale: float = 0.0) -> IsingProblem:
+    """Sherrington-Kirkpatrick: dense J ~ N(0,1)/sqrt(n), optional fields."""
+    rng = np.random.default_rng(seed)
+    J = rng.normal(size=(n, n)) / np.sqrt(n)
+    J = 0.5 * (J + J.T)
+    np.fill_diagonal(J, 0.0)
+    h = h_scale * rng.normal(size=n)
+    return IsingProblem(J, h, name=f"sk_{n}_seed{seed}")
+
+
+def ea_2d(L: int, seed: int = 0, pm: bool = True,
+          periodic: bool = True) -> IsingProblem:
+    """2D Edwards-Anderson glass on an L x L (torus) lattice.
+
+    pm=True draws J in {-1,+1} (the 32x32 +/-J config); otherwise Gaussian.
+    """
+    rng = np.random.default_rng(seed)
+    n = L * L
+    J = np.zeros((n, n))
+
+    def site(i, j):
+        return (i % L) * L + (j % L)
+
+    for i in range(L):
+        for j in range(L):
+            for (di, dj) in [(0, 1), (1, 0)]:
+                ii, jj = i + di, j + dj
+                if not periodic and (ii >= L or jj >= L):
+                    continue
+                a, b = site(i, j), site(ii, jj)
+                w = float(rng.choice([-1.0, 1.0])) if pm else float(rng.normal())
+                J[a, b] = J[b, a] = w
+    return IsingProblem(J, np.zeros(n), name=f"ea2d_{L}_seed{seed}")
+
+
+def ea_3d(L: int, seed: int = 0, pm: bool = False,
+          periodic: bool = True) -> IsingProblem:
+    """3D Edwards-Anderson glass on an L^3 (torus) lattice (16^3 config)."""
+    rng = np.random.default_rng(seed)
+    n = L ** 3
+    J = np.zeros((n, n))
+
+    def site(i, j, k):
+        return ((i % L) * L + (j % L)) * L + (k % L)
+
+    for i in range(L):
+        for j in range(L):
+            for k in range(L):
+                for (di, dj, dk) in [(0, 0, 1), (0, 1, 0), (1, 0, 0)]:
+                    ii, jj, kk = i + di, j + dj, k + dk
+                    if not periodic and (ii >= L or jj >= L or kk >= L):
+                        continue
+                    a, b = site(i, j, k), site(ii, jj, kk)
+                    w = float(rng.choice([-1.0, 1.0])) if pm else float(rng.normal())
+                    J[a, b] = J[b, a] = w
+    return IsingProblem(J, np.zeros(n), name=f"ea3d_{L}_seed{seed}")
+
+
+def wishart_planted(n: int, alpha: float, seed: int = 0,
+                    planted: Optional[np.ndarray] = None
+                    ) -> Tuple[IsingProblem, np.ndarray, float]:
+    """Wishart planted ensemble (Hamze et al.): t is a ground state of
+    E(m) = -(m^T J m)/2 by construction.
+
+    Draw W [n, M] Gaussian with columns projected orthogonal to the planted
+    state t (M = round(alpha * n)); set J~ = -W W^T / n with zero diagonal.
+    Then m^T J~ m = -|W^T m|^2 / n + const, maximized (energy minimized)
+    exactly at m = +-t. Returns (problem, t, gs_energy).
+    """
+    rng = np.random.default_rng(seed)
+    if planted is None:
+        t = np.ones(n)
+    else:
+        t = np.asarray(planted, dtype=np.float64).reshape(n)
+    M = max(int(round(alpha * n)), 1)
+    W = rng.normal(size=(n, M))
+    W -= np.outer(t, t @ W) / (t @ t)   # columns orthogonal to t
+    Jt = -(W @ W.T) / n
+    np.fill_diagonal(Jt, 0.0)
+    prob = IsingProblem(Jt, np.zeros(n), name=f"wishart_{n}_a{alpha}_s{seed}")
+    return prob, t, float(prob.energy(t))
+
+
+def contrived_wishart_backbone(
+    n_backbone: int, alpha: float = 0.2, seed: int = 0,
+    tree_depth: int = 2, cross_links: int = 0, cross_scale: float = 0.1,
+) -> Tuple[IsingProblem, np.ndarray, float]:
+    """Planted dense Wishart core + binary trees per core spin + cross links.
+
+    Re-designed analogue of the reference generator
+    (/root/reference/NMC/examples/contrived_wishart_backbone/
+     contrived_instance_generator.py): the dense core creates a backbone the
+    LBP convexification should identify; ferromagnetic trees hang off each
+    core spin; weak random cross links frustrate the periphery. Ground state
+    of the core is planted; tree spins align with their parents, so the full
+    planted state (and its energy) is returned for evaluation.
+    """
+    rng = np.random.default_rng(seed)
+    core, t_core, _ = wishart_planted(n_backbone, alpha, seed=seed + 1)
+
+    per_tree = 2 ** (tree_depth + 1) - 2   # nodes added per backbone spin
+    n = n_backbone + n_backbone * per_tree
+    J = np.zeros((n, n))
+    J[:n_backbone, :n_backbone] = core.J
+
+    t = np.zeros(n)
+    t[:n_backbone] = t_core
+    next_idx = n_backbone
+    for b in range(n_backbone):
+        # breadth-first binary tree rooted at backbone spin b
+        frontier = [b]
+        for _ in range(tree_depth):
+            new_frontier = []
+            for parent in frontier:
+                for _ in range(2):
+                    child = next_idx
+                    next_idx += 1
+                    w = abs(rng.normal()) + 0.5  # ferromagnetic
+                    J[parent, child] = J[child, parent] = w
+                    t[child] = t[parent]
+                    new_frontier.append(child)
+            frontier = new_frontier
+
+    tree_spins = np.arange(n_backbone, n)
+    for _ in range(cross_links):
+        a, b = rng.choice(tree_spins, size=2, replace=False)
+        if J[a, b] == 0 and a != b:
+            w = cross_scale * rng.normal()
+            J[a, b] = J[b, a] = w
+
+    prob = IsingProblem(J, np.zeros(n),
+                        name=f"contrived_{n_backbone}_a{alpha}_s{seed}")
+    if cross_links == 0:
+        gs_energy = float(prob.energy(t))
+    else:
+        gs_energy = float("nan")  # cross links may shift the ground state
+    return prob, t, gs_energy

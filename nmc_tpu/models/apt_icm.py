@@ -1,0 +1,196 @@
+"""APT + ICM — parallel tempering with Houdayer isoenergetic cluster moves.
+
+TPU-native rebuild of /root/reference/NPT/apt_ICM.py. Per swap round the
+reference runs a SERIAL double loop over num_replicas x 10 sub-replicas
+(apt_ICM.py:197-213, `num_cores` accepted but unused); here all R*S chains
+are one batch axis of a single jitted sweep call. The Houdayer move pairs
+same-temperature sub-replicas at random, finds connected components of the
+disagreement graph (spins with s1_i*s2_i = -1 over J-edges), and exchanges a
+random cluster between partners, with Katzgraber's modification flipping all
+of state_1 when the cluster exceeds N/2 spins (apt_ICM.py:216-246).
+
+Reference quirks preserved by default (disable with faithful_quirks=False):
+  * Houdayer operates on the FIRST sweep's state of each sub-replica block
+    and its outcome is written only into the recorded M, never into the
+    chain's continuation state (apt_ICM.py:225-246 vs 213) — so ICM moves
+    do not propagate into subsequent dynamics;
+  * num_subreplicas=10 and useKatzgraber=True are exposed (hardcoded at
+    apt_ICM.py:177-178);
+  * the final per-replica energy reads sub-replica 0's first
+    num_sweeps_read_per_swap sweeps of the last round (apt_ICM.py:290-297);
+  * normalization is the CALLER's job (apt_ICM.py:342-344), so
+    normalize=False by default here.
+With faithful_quirks=False the move uses final states and feeds back into
+the chains (the physically intended ICM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.problem import IsingProblem
+from ..ops.clusters import disagreement_clusters
+from ..ops.engine import SweepEngine
+from .npt import select_non_overlapping_pairs
+
+
+@dataclasses.dataclass
+class APTICMConfig:
+    """Mirrors /root/reference/NPT/apt_ICM.py:145-146 kwargs + exposed constants."""
+    num_sweeps_MCMC: int = 1000
+    num_sweeps_read: int = 1000
+    num_swap_attempts: int = 100
+    num_swapping_pairs: int = 1
+    num_subreplicas: int = 10
+    use_katzgraber: bool = True
+    use_hash_table: bool = False   # parity no-op (docs/DEVIATIONS.md)
+    faithful_quirks: bool = True   # see module docstring
+    normalize: bool = False        # reference expects pre-normalized J, h
+    # TPU execution knobs
+    block_size: int = 128
+    use_coloring: bool = False
+    dtype: str = "float32"
+    precision: str = "highest"
+
+
+class APTICMResult(NamedTuple):
+    Energy: np.ndarray          # [R] reference-semantics replica energies
+    energy_trace: np.ndarray    # [R, read_per_swap] sub-replica-0 last round
+    final_states: np.ndarray    # [R, S, n]
+    min_energy: float
+    best_state: np.ndarray      # [n]
+    swap_counts: np.ndarray     # [num_swap_attempts]
+    icm_moves: int              # Houdayer exchanges performed
+    icm_flips: int              # Katzgraber full flips performed
+    beta_list: np.ndarray
+
+
+def apt_icm_run(
+    problem: IsingProblem,
+    beta_list: Sequence[float],
+    cfg: APTICMConfig = APTICMConfig(),
+    key: Optional[jax.Array] = None,
+) -> APTICMResult:
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    beta_list = np.asarray(beta_list, dtype=np.float64).reshape(-1)
+    R = beta_list.shape[0]
+    S = cfg.num_subreplicas
+    norm_prob = problem.normalized()[0] if cfg.normalize else problem
+    n = norm_prob.n
+    engine = SweepEngine(
+        norm_prob, block_size=cfg.block_size, use_coloring=cfg.use_coloring,
+        dtype=jnp.dtype(cfg.dtype), precision=cfg.precision,
+    )
+
+    per_swap = cfg.num_sweeps_MCMC // cfg.num_swap_attempts
+    read_per_swap = max(cfg.num_sweeps_read // cfg.num_swap_attempts, 1)
+    if per_swap < 1:
+        raise ValueError("num_sweeps_MCMC // num_swap_attempts must be >= 1")
+
+    key, k_init = jax.random.split(key)
+    m_start = np.asarray(
+        engine.from_blocked(engine.init_states(k_init, R * S)), dtype=np.float64
+    ).reshape(R, S, n)
+    host_rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel()[-1])
+
+    # all R*S chains share one batched kernel; chain (r, s) runs at beta_list[r]
+    beta_chain = np.repeat(beta_list, S)[:, None]  # [R*S, 1]
+    all_pairs = [(i, i + 1) for i in range(1, R)]
+    swap_counts = np.zeros(cfg.num_swap_attempts)
+    icm_moves = icm_flips = 0
+    best_e, best_state = np.inf, m_start[0, 0].copy()
+    energies_round = np.zeros((R, S, per_swap))
+
+    for round_i in range(cfg.num_swap_attempts):
+        key, k_a, k_b = jax.random.split(key, 3)
+        flat = m_start.reshape(R * S, n)
+
+        # --- sweeps: 1 sweep (captures the 'first column' state), then rest
+        res_a = engine.run(flat, k_a, num_sweeps=1, beta=1.0,
+                           beta_spin=np.broadcast_to(beta_chain, (R * S, n)))
+        first_states = np.asarray(res_a.m, dtype=np.float64).reshape(R, S, n)
+        e_first = np.asarray(res_a.energies)[0].reshape(R, S)
+        if per_swap > 1:
+            res_b = engine.run(np.asarray(res_a.m), k_b,
+                               num_sweeps=per_swap - 1, beta=1.0,
+                               beta_spin=np.broadcast_to(beta_chain, (R * S, n)))
+            final_states = np.asarray(res_b.m, dtype=np.float64).reshape(R, S, n)
+            e_rest = np.asarray(res_b.energies).T.reshape(R, S, per_swap - 1)
+            eb = np.asarray(res_b.e_best)
+        else:
+            final_states = first_states.copy()
+            e_rest = np.zeros((R, S, 0))
+            eb = np.asarray(res_a.e_best)
+        energies_round[:, :, 0] = e_first
+        energies_round[:, :, 1:] = e_rest
+
+        if eb.min() < best_e:
+            ridx = int(eb.argmin())
+            best_e = float(eb.min())
+            src = np.asarray((res_b if per_swap > 1 else res_a).m_best)
+            best_state = src[ridx].copy()
+
+        # --- Houdayer move per replica (host; irregular graph work) -------
+        icm_states = first_states if cfg.faithful_quirks else final_states
+        touched = []
+        for r in range(R):
+            shuffled = host_rng.permutation(S)
+            for p in range(S // 2):
+                j, k_sub = int(shuffled[2 * p]), int(shuffled[2 * p + 1])
+                s1 = icm_states[r, j].copy()
+                s2 = icm_states[r, k_sub].copy()
+                clusters = disagreement_clusters(norm_prob.J, s1, s2)
+                if not clusters:
+                    continue
+                cl = clusters[int(host_rng.integers(len(clusters)))]
+                if cfg.use_katzgraber and cl.size > n // 2:
+                    s1 = -s1
+                    icm_flips += 1
+                else:
+                    s1[cl], s2[cl] = s2[cl].copy(), s1[cl].copy()
+                    icm_moves += 1
+                icm_states[r, j] = s1
+                icm_states[r, k_sub] = s2
+                touched.append((r, j))
+                touched.append((r, k_sub))
+
+        if touched:
+            idx = np.array(touched)
+            new_e = np.asarray(norm_prob.energy(icm_states[idx[:, 0], idx[:, 1]]))
+            col = 0 if cfg.faithful_quirks else per_swap - 1
+            energies_round[idx[:, 0], idx[:, 1], col] = new_e
+            if cfg.faithful_quirks and per_swap == 1:
+                # first column IS the last column: the record feeds the swaps
+                final_states = icm_states
+
+        if not cfg.faithful_quirks:
+            final_states = icm_states
+
+        m_start = final_states.copy()
+        last_e = energies_round[:, :, -1].copy()
+
+        # --- PT swaps, one Metropolis test per sub-replica per pair ------
+        selected = select_non_overlapping_pairs(
+            all_pairs, cfg.num_swapping_pairs, host_rng)
+        for s in range(S):
+            for (sel, nxt) in selected:
+                E_sel, E_nxt = last_e[sel - 1, s], last_e[nxt - 1, s]
+                dB = beta_list[nxt - 1] - beta_list[sel - 1]
+                if host_rng.random() < min(1.0, np.exp(dB * (E_nxt - E_sel))):
+                    swap_counts[round_i] += 1
+                    m_start[[sel - 1, nxt - 1], s] = m_start[[nxt - 1, sel - 1], s]
+                    last_e[[sel - 1, nxt - 1], s] = last_e[[nxt - 1, sel - 1], s]
+
+    trace = energies_round[:, 0, :read_per_swap]
+    Energy = trace.min(axis=1)
+    return APTICMResult(
+        Energy=Energy, energy_trace=trace, final_states=m_start,
+        min_energy=best_e, best_state=best_state, swap_counts=swap_counts,
+        icm_moves=icm_moves, icm_flips=icm_flips, beta_list=beta_list,
+    )

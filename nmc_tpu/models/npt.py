@@ -1,0 +1,241 @@
+"""NPT — replica exchange (APT) with NMC on selected replicas.
+
+TPU-native rebuild of /root/reference/NPT/npt.py. Per swap round the
+reference forks one OS process per replica (npt.py:616-640), runs plain
+Gibbs at the replica's beta (MCMC_task, npt.py:112-127) or an NMC cycle at
+`global_beta` — NOT the replica's beta; quirk preserved (npt.py:126) — then
+serially Metropolis-swaps the states of randomly chosen non-overlapping
+adjacent pairs (npt.py:649-680).
+
+Here all plain-MCMC replicas run as ONE batched sweep-kernel call with a
+per-replica beta vector, all NMC replicas run as ONE batched nmc_subroutine
+call, swap energies come free from the cached-field energy traces, and the
+state exchange is a tiny host-side permutation of the replica axis. The
+irregular pair-selection logic (npt.py:514-533) stays on the host where it
+belongs. For multi-chip replica sharding see parallel/replica_sharding.py
+(beta-label permutation instead of state movement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.problem import IsingProblem
+from ..ops.engine import SweepEngine
+from .nmc import NMCConfig, nmc_subroutine
+
+
+@dataclasses.dataclass
+class NPTConfig:
+    """Mirrors /root/reference/NPT/npt.py:535-539 kwargs."""
+    num_sweeps_MCMC: int = 1000
+    num_sweeps_read: int = 1000
+    num_swap_attempts: int = 100
+    num_swapping_pairs: int = 1
+    num_cycles: int = 10
+    full_update_frequency: int = 1
+    M_skip: int = 1
+    temp_x: float = 20.0
+    global_beta: float = 2.5
+    lambda_start: float = 0.5
+    lambda_end: float = 0.01
+    lambda_reduction_factor: float = 0.9
+    threshold_initial: float = 0.999999
+    threshold_cutoff: float = 0.99999
+    max_iterations: int = 100
+    tolerance: float = float(np.finfo(np.float64).eps)
+    use_hash_table: bool = False   # parity no-op (docs/DEVIATIONS.md)
+    normalize: bool = True
+    record_last_round_m: bool = True
+    # TPU execution knobs
+    block_size: int = 128
+    use_coloring: bool = False
+    dtype: str = "float32"
+    precision: str = "highest"
+
+    def derived_budgets(self):
+        """Per-swap sweep budgets (/root/reference/NPT/npt.py:577-580)."""
+        per_swap = self.num_sweeps_MCMC // self.num_swap_attempts
+        read_per_swap = self.num_sweeps_read // self.num_swap_attempts
+        nmc_phase = int(math.ceil(
+            self.num_sweeps_MCMC / self.num_swap_attempts / 3 / self.num_cycles))
+        return per_swap, read_per_swap, nmc_phase
+
+
+class NPTResult(NamedTuple):
+    M: Optional[np.ndarray]      # [R, n, per_swap] last-round states
+    Energy: np.ndarray           # [R] reference-semantics replica energies
+    energy_trace: np.ndarray     # [R, read_per_swap] last-round energy traces
+    min_energy: float            # best energy seen anywhere in the run
+    best_state: np.ndarray       # [n] state attaining min_energy
+    swap_counts: np.ndarray      # [num_swap_attempts] accepted swaps per round
+    swap_attempted: np.ndarray   # [rounds*pairs, 2] 1-indexed replica pairs
+    swap_accepted: np.ndarray    # [rounds*pairs, 2]
+    beta_list: np.ndarray
+    norm_factor: float
+
+    @property
+    def acceptance_rate(self) -> float:
+        """Fraction of rounds with >=1 accepted swap — the reference's
+        reported metric (/root/reference/NPT/npt.py:696), not a per-pair rate."""
+        return float(np.count_nonzero(self.swap_counts) / self.swap_counts.size)
+
+
+def select_non_overlapping_pairs(
+    all_pairs: List[tuple], num_swapping_pairs: int, rng: np.random.Generator
+) -> List[tuple]:
+    """Random non-overlapping adjacent pairs (/root/reference/NPT/npt.py:514-533)."""
+    available = list(all_pairs)
+    selected = []
+    for _ in range(num_swapping_pairs):
+        if not available:
+            raise ValueError("Cannot find non-overlapping pairs.")
+        pair = available[int(rng.integers(0, len(available)))]
+        selected.append(pair)
+        available = [p for p in available
+                     if pair[0] not in p and pair[1] not in p]
+    return selected
+
+
+def npt_run(
+    problem: IsingProblem,
+    beta_list: Sequence[float],
+    doNMC: Sequence[bool],
+    cfg: NPTConfig = NPTConfig(),
+    key: Optional[jax.Array] = None,
+) -> NPTResult:
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    beta_list = np.asarray(beta_list, dtype=np.float64).reshape(-1)
+    R = beta_list.shape[0]
+    doNMC = np.asarray(doNMC, dtype=bool).reshape(-1)
+    if doNMC.shape[0] != R:
+        raise ValueError("The length of doNMC does not match the number of replicas.")
+
+    norm_prob, norm_factor = (problem.normalized() if cfg.normalize
+                              else (problem, 1.0))
+    n = norm_prob.n
+    engine = SweepEngine(
+        norm_prob, block_size=cfg.block_size, use_coloring=cfg.use_coloring,
+        dtype=jnp.dtype(cfg.dtype), precision=cfg.precision,
+    )
+
+    per_swap, read_per_swap, nmc_phase_sweeps = cfg.derived_budgets()
+    if per_swap < 1:
+        raise ValueError("num_sweeps_MCMC // num_swap_attempts must be >= 1")
+
+    nmc_cfg = NMCConfig(
+        num_sweeps_per_NMC_phase=nmc_phase_sweeps,
+        num_NMC_cycles=cfg.num_cycles,
+        full_update_frequency=cfg.full_update_frequency,
+        M_skip=1, temp_x=cfg.temp_x, global_beta=cfg.global_beta,
+        lambda_start=cfg.lambda_start, lambda_end=cfg.lambda_end,
+        lambda_reduction_factor=cfg.lambda_reduction_factor,
+        threshold_initial=cfg.threshold_initial,
+        threshold_cutoff=cfg.threshold_cutoff,
+        max_iterations=cfg.max_iterations, tolerance=cfg.tolerance,
+        clusters_once=True,   # npt.py variant: LBP once per NMC call
+        normalize=False, record_m=False,
+        block_size=cfg.block_size, dtype=cfg.dtype, precision=cfg.precision,
+    )
+
+    mcmc_idx = np.flatnonzero(~doNMC)
+    nmc_idx = np.flatnonzero(doNMC)
+
+    key, k_init = jax.random.split(key)
+    m_start = np.asarray(engine.from_blocked(engine.init_states(k_init, R)),
+                         dtype=np.float64)
+    host_rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel()[-1])
+
+    all_pairs = [(i, i + 1) for i in range(1, R)]
+    swap_counts = np.zeros(cfg.num_swap_attempts)
+    swap_attempted = np.zeros((cfg.num_swap_attempts * cfg.num_swapping_pairs, 2))
+    swap_accepted = np.zeros_like(swap_attempted)
+    swap_index = 0
+
+    best_e = np.inf
+    best_state = m_start[0].copy()
+    last_energy = np.zeros(R)
+    energy_rounds = np.zeros((R, per_swap))
+    M_last = None
+
+    for round_i in range(cfg.num_swap_attempts):
+        key, k_mcmc, k_nmc = jax.random.split(key, 3)
+        record = cfg.record_last_round_m and round_i == cfg.num_swap_attempts - 1
+        if record:
+            M_last = np.zeros((R, n, per_swap))
+
+        if mcmc_idx.size:
+            res = engine.run(
+                m_start[mcmc_idx], k_mcmc, num_sweeps=per_swap, beta=1.0,
+                beta_spin=np.broadcast_to(beta_list[mcmc_idx, None],
+                                          (mcmc_idx.size, n)),
+                record_m=record,
+            )
+            m_start[mcmc_idx] = np.asarray(res.m)
+            e = np.asarray(res.energies)      # [per_swap, R_mcmc]
+            energy_rounds[mcmc_idx] = e.T
+            last_energy[mcmc_idx] = e[-1]
+            eb = np.asarray(res.e_best)
+            if eb.min() < best_e:
+                r = int(eb.argmin())
+                best_e = float(eb.min())
+                best_state = np.asarray(res.m_best)[r].copy()
+            if record:
+                M_last[mcmc_idx] = np.transpose(np.asarray(res.M), (1, 2, 0))
+
+        if nmc_idx.size:
+            sub = nmc_subroutine(engine, norm_prob, m_start[nmc_idx],
+                                 k_nmc, nmc_cfg)
+            m_start[nmc_idx] = sub.m_final
+            e = sub.energy_overall                # [T_nmc, R_nmc]
+            # reference keeps the LAST per_swap sweeps (npt.py:643)
+            e_tail = e[-per_swap:]
+            if e_tail.shape[0] < per_swap:       # pad by repeating first row
+                pad = np.repeat(e_tail[:1], per_swap - e_tail.shape[0], axis=0)
+                e_tail = np.concatenate([pad, e_tail], axis=0)
+            energy_rounds[nmc_idx] = e_tail.T
+            last_energy[nmc_idx] = e[-1]
+            if sub.min_energy.min() < best_e:
+                r = int(sub.min_energy.argmin())
+                best_e = float(sub.min_energy.min())
+                best_state = sub.m_best[r].copy()
+            if record:
+                # final state held across the window (NMC M history not kept)
+                M_last[nmc_idx] = m_start[nmc_idx][:, :, None]
+
+        # ---- swap attempts (host; tiny) --------------------------------
+        selected = select_non_overlapping_pairs(
+            all_pairs, cfg.num_swapping_pairs, host_rng)
+        for (sel, nxt) in selected:  # 1-indexed, like the reference
+            E_sel = last_energy[sel - 1]
+            E_nxt = last_energy[nxt - 1]
+            swap_attempted[swap_index] = [sel, nxt]
+            dE = E_nxt - E_sel
+            dB = beta_list[nxt - 1] - beta_list[sel - 1]
+            if host_rng.random() < min(1.0, np.exp(dB * dE)):
+                swap_counts[round_i] += 1
+                swap_accepted[swap_index] = [sel, nxt]
+                m_start[[sel - 1, nxt - 1]] = m_start[[nxt - 1, sel - 1]]
+                last_energy[[sel - 1, nxt - 1]] = last_energy[[nxt - 1, sel - 1]]
+            swap_index += 1
+
+    # Reference-semantics replica energies: min over the FIRST
+    # read_per_swap sweeps of the last round (/root/reference/NPT/npt.py:685-692,
+    # replica_energy iterates range(num_sweeps) from 0 — quirk preserved).
+    trace = energy_rounds[:, :max(read_per_swap, 1)]
+    Energy = trace.min(axis=1)
+
+    return NPTResult(
+        M=M_last, Energy=Energy, energy_trace=trace,
+        min_energy=best_e, best_state=best_state,
+        swap_counts=swap_counts, swap_attempted=swap_attempted,
+        swap_accepted=swap_accepted, beta_list=beta_list,
+        norm_factor=norm_factor,
+    )

@@ -158,9 +158,11 @@ def run_sweeps(
         ys = (e, m) if record_m else (e,)
         return (m, phi, m_best, e_best), ys
 
-    e0 = energy_from_fields(h, m0, phi0)
+    # best-so-far covers SWEPT states only, matching the reference's
+    # argmin over the phase's sweep history (/root/reference/NMC/nmc.py:394)
+    e_inf = jnp.full((R,), jnp.inf, dtype=dtype)
     keys = jax.random.split(key, num_sweeps)
-    carry0 = (m0, phi0, m0, e0)
+    carry0 = (m0, phi0, m0, e_inf)
     (m, phi, m_best, e_best), ys = lax.scan(
         one_sweep, carry0, (beta_sweep, keys)
     )

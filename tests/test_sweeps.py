@@ -95,8 +95,7 @@ class TestInvariants:
         res = eng.run(m0, jax.random.PRNGKey(3), num_sweeps=80, beta=1.5,
                       record_m=True)
         e = np.asarray(res.energies)  # [T, R]
-        np.testing.assert_allclose(np.asarray(res.e_best),
-                                   np.minimum(e.min(axis=0), e[0] * 0 + prob.energy(np.asarray(m0))),
+        np.testing.assert_allclose(np.asarray(res.e_best), e.min(axis=0),
                                    atol=1e-4)
         # m_best really attains e_best
         np.testing.assert_allclose(prob.energy(np.asarray(res.m_best)),
