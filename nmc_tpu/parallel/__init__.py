@@ -1,0 +1,24 @@
+"""Multi-chip parallelism: replica sharding, instance ensembles, label swaps.
+
+The reference's only parallel backend is a single-node ProcessPoolExecutor
+(/root/reference/NPT/npt.py:616, apt_preprocessor.py:160). Here:
+
+  * on-chip batching (replicas/chains/sub-replicas) is the vmap/batch axis
+    of the sweep kernel — no module needed;
+  * replica parallelism across chips: parallel/sharded_pt.ShardedNPT
+    (shard_map over a 'replica' mesh axis, beta-label swaps, all_gather of
+    R scalars per round);
+  * instance-ensemble parallelism across chips: parallel/ensemble.EnsemblePT
+    (instances sharded, zero cross-shard communication);
+  * swap machinery shared by both: parallel/swaps.py.
+"""
+
+from .ensemble import EnsembleConfig, EnsemblePT, EnsembleState
+from .sharded_pt import RoundMetrics, ShardedNPT, ShardedNPTConfig, ShardedPTState
+from .swaps import metropolis_label_swap, select_pairs_device
+
+__all__ = [
+    "ShardedNPT", "ShardedNPTConfig", "ShardedPTState", "RoundMetrics",
+    "EnsemblePT", "EnsembleConfig", "EnsembleState",
+    "metropolis_label_swap", "select_pairs_device",
+]

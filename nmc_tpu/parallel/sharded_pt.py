@@ -1,0 +1,300 @@
+"""Mesh-sharded NPT: replica-parallel tempering across TPU chips.
+
+The reference scales replicas with one OS process per replica per round
+(/root/reference/NPT/npt.py:616-640), shipping the full sweep history
+through pickle each round. Here the replica axis is sharded over a
+jax.sharding.Mesh: each chip owns R/n_devices chains (states AND cached
+local fields stay resident in its HBM forever), the whole swap round —
+sweeps, LBP backbone extraction, NMC phases, replica exchange — is ONE
+jitted shard_map program, and the only cross-chip traffic is an all_gather
+of R scalar energies plus the replicated O(R) label permutation from
+parallel/swaps.py. States never cross the ICI.
+
+Faithfulness notes (vs models/npt.py, the exact single-host path):
+  * NMC replicas run at global_beta (quirk preserved, npt.py:126).
+  * Backbone masks come from thresholding LBP marginals at
+    threshold_initial. With the reference's shipped thresholds the
+    cluster-growth loop is a no-op and the flat cluster set equals exactly
+    {i : |marginal_i| >= threshold_initial} (see SURVEY.md quirk 2), so the
+    device-side mask is exact; non-default cutoffs that would grow clusters
+    are a documented deviation for this path.
+  * The lambda ladder runs fully inside jit; the reference's
+    divergence-fallback (reuse previous marginal) is applied per rung with
+    a where() instead of early exit.
+  * An 'instance' mesh axis can be composed on top via vmap/shard_map for
+    ensemble runs (parallel/ensemble.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.problem import IsingProblem, block_problem
+from ..ops.lbp import lambda_ladder
+from ..ops.sweeps import run_sweeps
+from .swaps import metropolis_label_swap
+
+
+@dataclasses.dataclass
+class ShardedNPTConfig:
+    sweeps_per_phase: int = 32
+    num_cycles: int = 2
+    full_update_frequency: int = 1
+    num_swapping_pairs: int = 1
+    global_beta: float = 2.5
+    temp_x: float = 20.0
+    threshold_initial: float = 0.999999
+    lambda_start: float = 3.0
+    lambda_end: float = 0.01
+    lambda_reduction_factor: float = 0.5   # short ladder: jit-friendly default
+    lbp_max_iterations: int = 30
+    lbp_tolerance: float = 1e-7
+    block_size: int = 128
+    within_block: str = "sequential"
+    precision: str = "highest"
+    dtype: str = "float32"
+
+
+class ShardedPTState(NamedTuple):
+    m: jax.Array             # [R, n_pad] chain states, sharded over 'replica'
+    beta_to_slot: jax.Array  # [R] replicated
+    slot_to_beta: jax.Array  # [R] replicated
+    key: jax.Array           # replicated
+    round_index: jax.Array   # scalar
+
+
+class RoundMetrics(NamedTuple):
+    slot_energies: jax.Array  # [R] energy of each slot after the round
+    accepted: jax.Array       # [num_swapping_pairs] bool
+    pairs: jax.Array          # [num_swapping_pairs]
+
+
+class ShardedNPT:
+    """Replica-sharded parallel tempering with optional NMC phases."""
+
+    def __init__(
+        self,
+        problem: IsingProblem,
+        beta_list: Sequence[float],
+        doNMC: Sequence[bool],
+        cfg: ShardedNPTConfig = ShardedNPTConfig(),
+        mesh: Optional[Mesh] = None,
+        axis_name: str = "replica",
+    ):
+        self.cfg = cfg
+        self.axis = axis_name
+        beta_list = np.asarray(beta_list, dtype=np.float64)
+        self.R = beta_list.shape[0]
+        self.doNMC = np.asarray(doNMC, dtype=bool)
+        if self.doNMC.shape[0] != self.R:
+            raise ValueError("doNMC length must match beta_list")
+        self.any_nmc = bool(self.doNMC.any())
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis_name,))
+        self.mesh = mesh
+        self.n_dev = mesh.shape[axis_name]
+        if self.R % self.n_dev != 0:
+            raise ValueError(
+                f"num replicas {self.R} must divide over {self.n_dev} devices")
+        self.R_local = self.R // self.n_dev
+
+        dtype = jnp.dtype(cfg.dtype)
+        np_dtype = np.dtype(dtype.name)
+        self.blocked = block_problem(problem, block_size=cfg.block_size,
+                                     dtype=np_dtype)
+        b = self.blocked
+        self.n_pad = b.n_pad
+        # replicated problem data
+        self.J_rows = jnp.asarray(b.J_rows)
+        self.J_diag = jnp.asarray(b.J_diag)
+        self.J_full = self.J_rows.reshape(b.n_pad, b.n_pad)
+        self.h = jnp.asarray(b.h)
+        self.active = jnp.asarray(b.active)
+        self.beta_list = jnp.asarray(beta_list, dtype)
+        self.do_nmc_by_beta = jnp.asarray(self.doNMC)
+        # epsilon for convexified clamping, blocked layout
+        eps = np.abs(b.h) + np.abs(self._dense_J_np()).sum(axis=1)
+        self.epsilon = jnp.asarray(eps, dtype)
+        self.ladder = tuple(lambda_ladder(cfg.lambda_start, cfg.lambda_end,
+                                          cfg.lambda_reduction_factor))
+
+        self._round_jit = jax.jit(self._build_round())
+
+    def _dense_J_np(self):
+        b = self.blocked
+        return b.J_rows.reshape(b.n_pad, b.n_pad)
+
+    # ------------------------------------------------------------------
+    def init_state(self, key) -> ShardedPTState:
+        k_m, key = jax.random.split(key)
+        u = jax.random.uniform(k_m, (self.R, self.n_pad),
+                               dtype=self.h.dtype)
+        m = jnp.where(u < 0.5, -1.0, 1.0).astype(self.h.dtype)
+        m = jnp.where(self.active, m, 1.0)
+        m = jax.device_put(m, NamedSharding(self.mesh, P(self.axis, None)))
+        ids = jnp.arange(self.R, dtype=jnp.int32)
+        return ShardedPTState(
+            m=m, beta_to_slot=ids, slot_to_beta=ids, key=key,
+            round_index=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+    def _lbp_marginal(self, m_star):
+        """Convexified LBP marginal for ONE slot (blocked layout), fully
+        jitted; vmapped over local slots by the caller."""
+        cfg = self.cfg
+        J = self.J_full
+        h = self.h
+        beta = jnp.asarray(cfg.global_beta, J.dtype)
+        tanh_bJ = jnp.tanh(beta * J)
+        eye = jnp.eye(self.n_pad, dtype=J.dtype)
+
+        def lbp(h_lambda, h_msgs, u_msgs):
+            def step(state):
+                h_m, u_m, it, _ = state
+                col_in = h_lambda + jnp.sum(u_m, axis=0)
+                h_new = (col_in[:, None] - u_m.T) * (1.0 - eye)
+                u_new = jnp.arctanh(jnp.clip(
+                    tanh_bJ * jnp.tanh(beta * h_new), -0.9999999, 0.9999999)
+                ) / beta
+                u_ch = jnp.max(jnp.abs(u_new - u_m)) / (
+                    jnp.max(jnp.abs(u_new) + jnp.abs(u_m)) + 1e-30)
+                h_ch = jnp.max(jnp.abs(h_new - h_m)) / (
+                    jnp.max(jnp.abs(h_new) + jnp.abs(h_m)) + 1e-30)
+                conv = (u_ch < cfg.lbp_tolerance) & (h_ch < cfg.lbp_tolerance)
+                return h_new, u_new, it + 1, conv
+
+            def cond(state):
+                _, _, it, conv = state
+                return (it < cfg.lbp_max_iterations) & (~conv)
+
+            h_f, u_f, _, conv = lax.while_loop(
+                cond, step, (h_msgs, u_msgs, jnp.int32(0), jnp.bool_(False)))
+            mag = jnp.tanh(beta * (h_lambda + jnp.sum(u_f, axis=0)))
+            return mag, h_f, u_f, conv
+
+        h_msgs = jnp.zeros_like(J)
+        u_msgs = J * m_star[None, :]
+        marginal = jnp.zeros(self.n_pad, J.dtype)
+        have_prev = jnp.bool_(False)
+        for lam in self.ladder:
+            h_lambda = h + lam * m_star * self.epsilon
+            mag, h_msgs, u_msgs, conv = lbp(h_lambda, h_msgs, u_msgs)
+            # divergence fallback: keep previous marginal (npt.py:181-183)
+            marginal = jnp.where(conv | ~have_prev, mag, marginal)
+            have_prev = have_prev | conv
+        return marginal
+
+    # ------------------------------------------------------------------
+    def _build_round(self):
+        cfg = self.cfg
+        axis = self.axis
+        R_local = self.R_local
+        n_pad = self.n_pad
+        dtype = self.h.dtype
+
+        def phase(m, key, beta_spin, mask):
+            phi = jnp.matmul(m, self.J_full, precision=cfg.precision) + self.h
+            return run_sweeps(
+                self.J_rows, self.J_diag, self.h, m, phi, key,
+                jnp.ones((cfg.sweeps_per_phase,), dtype), beta_spin, mask,
+                num_sweeps=cfg.sweeps_per_phase,
+                within_block=cfg.within_block, block_order="fixed",
+                record_m=False, precision=cfg.precision,
+            )
+
+        def _round(m_local, beta_to_slot, slot_to_beta, key, round_index):
+            dev = lax.axis_index(axis)
+            k_dev = jax.random.fold_in(jax.random.fold_in(key, round_index), dev)
+            k_swap = jax.random.fold_in(jax.random.fold_in(key, round_index),
+                                        jnp.uint32(0xD00D))
+
+            beta_idx_local = lax.dynamic_slice(
+                slot_to_beta, (dev * R_local,), (R_local,))
+            beta_local = self.beta_list[beta_idx_local]          # [R_local]
+            do_nmc = self.do_nmc_by_beta[beta_idx_local]          # [R_local]
+
+            base_row = jnp.where(do_nmc, jnp.asarray(cfg.global_beta, dtype),
+                                 beta_local.astype(dtype))[:, None]
+            act = jnp.broadcast_to(self.active, (R_local, n_pad))
+
+            if self.any_nmc:
+                marg = jax.vmap(self._lbp_marginal)(m_local)
+                cl = (jnp.abs(marg) >= cfg.threshold_initial) & act
+            else:
+                cl = act
+
+            e_last = None
+            for cycle in range(cfg.num_cycles):
+                k_dev, kc, knc, kall = jax.random.split(k_dev, 4)
+                # (C) heated clusters for NMC slots; plain sweeps otherwise
+                heat = jnp.where(do_nmc[:, None] & cl,
+                                 jnp.asarray(1.0 / cfg.temp_x, dtype), 1.0)
+                mask_c = jnp.where(do_nmc[:, None], cl & act, act)
+                res = phase(m_local, kc, base_row * heat, mask_c)
+                m_local = jnp.where(do_nmc[:, None], res.m_best, res.m)
+
+                # (NC) frozen clusters for NMC slots
+                mask_nc = jnp.where(do_nmc[:, None], (~cl) & act, act)
+                res = phase(m_local, knc, base_row, mask_nc)
+                m_local = jnp.where(do_nmc[:, None], res.m_best, res.m)
+
+                # (ALL)
+                if cycle % cfg.full_update_frequency == 0:
+                    res = phase(m_local, kall, base_row, act)
+                    m_local = res.m
+                e_last = res.energies[-1]     # [R_local]
+
+            e_all = lax.all_gather(e_last, axis, tiled=True)       # [R]
+            swap = metropolis_label_swap(
+                k_swap, beta_to_slot, self.beta_list.astype(jnp.float32),
+                e_all.astype(jnp.float32), num_pairs=cfg.num_swapping_pairs)
+            metrics = RoundMetrics(slot_energies=e_all,
+                                   accepted=swap.accepted, pairs=swap.pairs)
+            return (m_local, swap.beta_to_slot, swap.slot_to_beta, metrics)
+
+        shard_map = jax.shard_map
+
+        smapped = shard_map(
+            _round, mesh=self.mesh,
+            in_specs=(P(axis, None), P(), P(), P(), P()),
+            out_specs=(P(axis, None), P(), P(),
+                       RoundMetrics(P(), P(), P())),
+            check_vma=False,
+        )
+
+        def round_fn(state: ShardedPTState):
+            m, b2s, s2b, metrics = smapped(
+                state.m, state.beta_to_slot, state.slot_to_beta, state.key,
+                state.round_index)
+            new_state = ShardedPTState(
+                m=m, beta_to_slot=b2s, slot_to_beta=s2b, key=state.key,
+                round_index=state.round_index + 1)
+            return new_state, metrics
+
+        return round_fn
+
+    # ------------------------------------------------------------------
+    def round(self, state: ShardedPTState):
+        """Run one jitted swap round; returns (state, RoundMetrics)."""
+        return self._round_jit(state)
+
+    def run(self, state: ShardedPTState, num_rounds: int):
+        metrics = None
+        for _ in range(num_rounds):
+            state, metrics = self.round(state)
+        return state, metrics
+
+    def states_by_temperature(self, state: ShardedPTState) -> np.ndarray:
+        """Gather states ordered by temperature index [R, n] (host)."""
+        m = np.asarray(state.m)[np.asarray(state.beta_to_slot)]
+        return m[:, np.asarray(self.blocked.inv_perm)]

@@ -1,0 +1,104 @@
+"""Plot parity: the PNG artifacts the reference emits, same filenames.
+
+NMC_spins.png / NMC_energy.png (/root/reference/NMC/nmc.py:522-641),
+NPT_energy.png (/root/reference/NPT/npt.py:702-717),
+APT_ICM_energy..png (/root/reference/NPT/apt_ICM.py:307-322 — double dot
+kept for artifact-name parity), beta_sigma.png
+(/root/reference/NPT/apt_preprocessor.py:206-231).
+
+matplotlib is imported lazily with the Agg backend so headless TPU workers
+never touch a display.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def _phase_marks(ax, phase_labels, phase_lengths, y):
+    colors = {"C": "red", "NC": (0, 0.5, 0), "ALL": "blue"}
+    x = 0
+    for label, length in zip(phase_labels, phase_lengths):
+        x += length
+        ax.axvline(x=x, color="k", linewidth=2)
+        ax.text(x - length / 2, y, label, fontsize=12, ha="center",
+                color=colors.get(label, "k"), fontweight="bold")
+
+
+def plot_nmc_results(M_overall, energy_overall, all_clusters, phase_labels,
+                     phase_lengths, M_skip=1, prefix=""):
+    """Cluster/non-cluster spin heatmaps + energy trace (chain 0)."""
+    plt = _plt()
+    M = np.asarray(M_overall)
+    if M.ndim == 3:          # [T, R, n] -> chain 0, reference layout [n, T]
+        M = M[:, 0, :].T
+    e = np.asarray(energy_overall)
+    if e.ndim == 2:
+        e = e[:, 0]
+    n = M.shape[0]
+    clusters = np.asarray(all_clusters, dtype=int)
+    non_clusters = np.setdiff1d(np.arange(n), clusters)
+
+    fig, axes = plt.subplots(2, 1, figsize=(10, 10))
+    for ax, rows, ylab in ((axes[0], clusters, "cluster index"),
+                           (axes[1], non_clusters, "non-cluster index")):
+        if rows.size:
+            ax.imshow(M[rows], aspect="auto", cmap="viridis")
+        ax.set_xlabel("number of sweeps", fontsize=14, fontweight="bold")
+        ax.set_ylabel(ylab, fontsize=14, fontweight="bold")
+        _phase_marks(ax, phase_labels,
+                     [pl // M_skip for pl in phase_lengths], -5)
+    fig.tight_layout()
+    fig.savefig(f"{prefix}NMC_spins.png")
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(10, 5))
+    ax.plot(np.arange(0, e.size * M_skip, M_skip)[: e.size], e)
+    ax.set_xlabel("number of sweeps", fontsize=14, fontweight="bold")
+    ax.set_ylabel("energy", fontsize=14, fontweight="bold")
+    ymin, ymax = float(np.min(e)), float(np.max(e))
+    ax.set_ylim([ymin, ymax])
+    _phase_marks(ax, phase_labels, phase_lengths,
+                 ymin + 0.05 * (ymax - ymin))
+    fig.tight_layout()
+    fig.savefig(f"{prefix}NMC_energy.png")
+    plt.close(fig)
+
+
+def plot_energies(energy_traces, beta_list, filename="NPT_energy.png"):
+    """Per-replica energy traces (reference plot_energies)."""
+    plt = _plt()
+    fig = plt.figure()
+    for i, trace in enumerate(energy_traces):
+        plt.plot(np.asarray(trace),
+                 label=f"Replica {i + 1} (β={float(beta_list[i]):.2f})")
+    plt.xlabel("Sweeps")
+    plt.ylabel("Energy")
+    plt.title("Energy traces for different replicas")
+    plt.legend()
+    fig.savefig(filename)
+    plt.close(fig)
+
+
+def plot_beta_sigma(beta, sigma, filename="beta_sigma.png"):
+    """APT schedule diagnostics (reference plot_results)."""
+    plt = _plt()
+    fig, ax1 = plt.subplots()
+    ax1.plot(beta, marker="*", linewidth=2, markersize=6, label="beta")
+    ax1.set_ylabel("beta")
+    ax2 = ax1.twinx()
+    ax2.plot(sigma, marker=">", linewidth=2, markersize=6,
+             color="tab:orange", label="sigma")
+    ax2.set_ylabel("sigma")
+    ax1.set_xlabel("iteration")
+    ax1.legend(loc="upper left")
+    ax2.legend(loc="upper right")
+    fig.savefig(filename)
+    plt.close(fig)

@@ -20,6 +20,11 @@ if _REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS env, and
+# XLA_FLAGS may already be frozen by sitecustomize, so force the CPU backend
+# with 8 virtual devices at the config level.
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

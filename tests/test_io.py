@@ -1,0 +1,127 @@
+"""Instance loaders (4 dialects), ground-truth readers, generators."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nmc_tpu.io.generators import (contrived_wishart_backbone, ea_2d, ea_3d,
+                                   random_sk, wishart_planted)
+from nmc_tpu.io.loaders import (load_chimera, load_contrived_tree, load_dcl,
+                                load_wishart, read_gs_energies,
+                                read_otn2d_groundstates)
+
+REF = "/root/reference"
+
+
+class TestLoaders:
+    def test_wishart_dialect(self, tmp_path):
+        p = tmp_path / "w.txt"
+        p.write_text("# comment\n0 1 2.0\n1 2 -1.5\n2 2 9.9\n")
+        prob = load_wishart(str(p))
+        assert prob.n == 3
+        assert prob.J[0, 1] == -2.0 and prob.J[1, 0] == -2.0  # negated
+        assert prob.J[1, 2] == 1.5
+        assert prob.J[2, 2] == 0.0  # diagonal skipped
+        assert np.all(prob.h == 0)
+
+    def test_chimera_dialect(self, tmp_path):
+        p = tmp_path / "c.txt"
+        p.write_text("#\n1 1 0.25\n1 2 1.0\n2 2 -0.5\n")
+        prob = load_chimera(str(p))
+        assert prob.n == 2
+        assert prob.h[0] == -0.25 and prob.h[1] == 0.5
+        assert prob.J[0, 1] == -1.0
+
+    def test_contrived_tree_dialect(self, tmp_path):
+        p = tmp_path / "t.txt"
+        p.write_text("0 0 0.3\n0 1 -1.0\n")
+        prob = load_contrived_tree(str(p))
+        assert prob.n == 2
+        assert prob.h[0] == -0.3
+        assert prob.J[0, 1] == 1.0
+
+    def test_gs_energies_reader(self, tmp_path):
+        p = tmp_path / "gs_energies.txt"
+        p.write_text("inst_1.txt\t-55616\ninst_2.txt\t-56452\n")
+        gs = read_gs_energies(str(p))
+        assert gs["inst_1.txt"] == -55616
+
+    def test_otn2d_reader(self, tmp_path):
+        p = tmp_path / "groundstates_otn2d.txt"
+        p.write_text("001.txt : -210.933333 0 1 1 0\n")
+        out = read_otn2d_groundstates(str(p))
+        e, state = out["001.txt"]
+        assert e == -210.933333
+        np.testing.assert_array_equal(state, [-1, 1, 1, -1])
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data absent")
+class TestRealInstances:
+    def test_wishart_instance_energy_matches_gs(self):
+        folder = os.path.join(
+            REF, "NPT/examples/wishart_small/wishart_planting_N_22_alpha_0.50")
+        gs = read_gs_energies(os.path.join(folder, "gs_energies.txt"))
+        name = "wishart_planting_N_22_alpha_0.50_inst_1.txt"
+        prob = load_wishart(os.path.join(folder, name))
+        assert prob.n == 22
+        assert name in gs
+        # the planted gs energy must be achievable: check it's below the
+        # energy of 200 random states (sanity, not solving here)
+        rng = np.random.default_rng(0)
+        rand_e = prob.energy(np.sign(rng.normal(size=(200, 22))))
+        assert gs[name] < rand_e.min()
+
+    def test_chimera128_instance_gs_state_energy(self):
+        folder = os.path.join(
+            REF, "NMC/examples/Chimera_droplet_instances/chimera128_spinglass_power")
+        prob = load_chimera(os.path.join(folder, "001.txt"))
+        out = read_otn2d_groundstates(
+            os.path.join(folder, "groundstates_otn2d.txt"))
+        e_gs, state = out["001.txt"]
+        assert prob.n == state.shape[0] == 128
+        # the shipped ground state must evaluate to the shipped energy
+        np.testing.assert_allclose(prob.energy(state.astype(float)), e_gs,
+                                   atol=1e-4)
+
+
+class TestGenerators:
+    def test_sk_properties(self):
+        prob = random_sk(32, seed=0)
+        assert np.allclose(prob.J, prob.J.T)
+        assert np.all(np.diag(prob.J) == 0)
+
+    def test_ea2d_degree(self):
+        prob = ea_2d(4, seed=0)
+        deg = (prob.J != 0).sum(axis=1)
+        np.testing.assert_array_equal(deg, 4)  # torus: 4 neighbors each
+        assert set(np.unique(prob.J[prob.J != 0])) <= {-1.0, 1.0}
+
+    def test_ea3d_degree(self):
+        prob = ea_3d(3, seed=0)
+        deg = (prob.J != 0).sum(axis=1)
+        assert np.all(deg == 6)
+
+    def test_wishart_planted_state_is_local_min(self):
+        prob, t, e_gs = wishart_planted(24, alpha=0.6, seed=1)
+        np.testing.assert_allclose(prob.energy(t), e_gs)
+        # single-flip stability: every neighbor has higher energy
+        for i in range(24):
+            t2 = t.copy()
+            t2[i] *= -1
+            assert prob.energy(t2) > e_gs - 1e-12
+        # global check by brute force on a smaller instance
+        small, ts, es = wishart_planted(14, alpha=0.6, seed=2)
+        import itertools
+        states = np.array(list(itertools.product([-1, 1], repeat=14)), float)
+        assert abs(small.energy(states).min() - es) < 1e-9
+
+    def test_contrived_backbone(self):
+        prob, t, e_gs = contrived_wishart_backbone(6, alpha=0.5, seed=3)
+        assert prob.n == 6 + 6 * 6  # depth-2 binary trees: 6 nodes each
+        np.testing.assert_allclose(prob.energy(t), e_gs)
+        # planted state is single-flip stable
+        for i in range(prob.n):
+            t2 = t.copy()
+            t2[i] *= -1
+            assert prob.energy(t2) > e_gs - 1e-12

@@ -1,0 +1,159 @@
+"""Algorithm drivers: NMC, APT, NPT, APT+ICM (small, CPU-fast configs)."""
+
+import itertools
+
+import jax
+import numpy as np
+import pytest
+
+from nmc_tpu import (APTConfig, APTICMConfig, NMCConfig, NPTConfig,
+                     IsingProblem, apt_icm_run, apt_preprocess, nmc_run,
+                     npt_run)
+from nmc_tpu.io.generators import random_sk
+
+
+def brute_force_gs(problem):
+    states = np.array(list(itertools.product([-1, 1], repeat=problem.n)), float)
+    E = problem.energy(states)
+    i = int(E.argmin())
+    return states[i], float(E[i])
+
+
+class TestNMC:
+    def test_finds_ground_state_small_sk(self):
+        prob = random_sk(12, seed=3)
+        norm, _ = prob.normalized()
+        _, gs = brute_force_gs(norm)
+        cfg = NMCConfig(num_sweeps_initial=200, num_sweeps_per_NMC_phase=100,
+                        num_NMC_cycles=2, global_beta=2.0, num_chains=2,
+                        block_size=16, record_m=False, lambda_start=3.0,
+                        tolerance=1e-8, max_iterations=500)
+        res = nmc_run(prob, cfg, jax.random.PRNGKey(0))
+        assert res.min_energy.min() <= gs + 1e-4
+        assert res.phase_labels == ["C", "NC", "ALL"] * 2
+        assert res.energy_overall.shape == (600, 2)
+
+    def test_full_update_frequency(self):
+        prob = random_sk(10, seed=4)
+        cfg = NMCConfig(num_sweeps_initial=50, num_sweeps_per_NMC_phase=30,
+                        num_NMC_cycles=3, full_update_frequency=2,
+                        global_beta=1.5, block_size=16, record_m=False,
+                        lambda_start=3.0, tolerance=1e-8,
+                        max_iterations=500)
+        res = nmc_run(prob, cfg, jax.random.PRNGKey(0))
+        # ALL phase on cycles 0 and 2 only
+        assert res.phase_labels == ["C", "NC", "ALL", "C", "NC", "C", "NC", "ALL"]
+
+    def test_m_skip_recording(self):
+        prob = random_sk(8, seed=5)
+        cfg = NMCConfig(num_sweeps_initial=40, num_sweeps_per_NMC_phase=20,
+                        num_NMC_cycles=1, M_skip=5, global_beta=1.0,
+                        block_size=8, record_m=True, lambda_start=3.0,
+                        tolerance=1e-8, max_iterations=500)
+        res = nmc_run(prob, cfg, jax.random.PRNGKey(0))
+        # 3 phases x (20/5) records
+        assert res.M_overall.shape == (12, 1, 8)
+
+
+class TestAPT:
+    def test_schedule_grows_and_sigma_shrinks(self):
+        prob = random_sk(20, seed=7)
+        cfg = APTConfig(num_sweeps_MCMC=60, num_sweeps_read=40, num_rng=16,
+                        beta_start=0.3, alpha=1.0, beta_max=8.0,
+                        block_size=32)
+        res = apt_preprocess(prob, cfg, jax.random.PRNGKey(0))
+        beta = np.asarray(res.beta)
+        assert beta[0] == 0.3
+        assert np.all(np.diff(beta) > 0)
+        assert res.sigma[0] > res.sigma[-1]
+        assert res.final_states.shape == (16, 20)
+
+    def test_stop_conditions(self):
+        prob = random_sk(10, seed=8)
+        # tiny beta_max forces the beta_max break
+        cfg = APTConfig(num_sweeps_MCMC=30, num_sweeps_read=20, num_rng=8,
+                        beta_start=0.5, alpha=5.0, beta_max=1.0,
+                        block_size=16)
+        res = apt_preprocess(prob, cfg, jax.random.PRNGKey(0))
+        assert res.beta[-1] > 1.0  # exceeded, then stopped
+
+    def test_artifacts_saved(self, tmp_path):
+        prob = random_sk(8, seed=9)
+        cfg = APTConfig(num_sweeps_MCMC=20, num_sweeps_read=10, num_rng=4,
+                        beta_start=0.5, alpha=2.0, beta_max=3.0,
+                        save_dir=str(tmp_path), block_size=8)
+        res = apt_preprocess(prob, cfg, jax.random.PRNGKey(0))
+        beta_file = tmp_path / "beta_list_python.npy"
+        assert beta_file.exists()
+        np.testing.assert_allclose(np.load(beta_file), res.beta)
+        assert (tmp_path / "Energy_iter_1.npy").exists()
+        assert np.load(tmp_path / "Energy_iter_1.npy").shape == (4, 10)
+
+    def test_invalid_sweeps_raises(self):
+        prob = random_sk(8, seed=9)
+        with pytest.raises(ValueError):
+            apt_preprocess(prob, APTConfig(num_sweeps_MCMC=-100),
+                           jax.random.PRNGKey(0))
+
+
+class TestNPT:
+    def test_run_shapes_and_energy_descent(self):
+        prob = random_sk(14, seed=11)
+        beta_list = np.array([0.4, 0.8, 1.4, 2.2, 3.0])
+        doNMC = [False, False, False, True, True]
+        cfg = NPTConfig(num_sweeps_MCMC=120, num_sweeps_read=60,
+                        num_swap_attempts=3, num_swapping_pairs=2,
+                        num_cycles=2, global_beta=2.0, lambda_start=3.0,
+                        tolerance=1e-8, max_iterations=500, block_size=16)
+        res = npt_run(prob, beta_list, doNMC, cfg, jax.random.PRNGKey(0))
+        assert res.Energy.shape == (5,)
+        assert res.M.shape == (5, 14, 40)
+        assert res.energy_trace.shape == (5, 20)
+        assert np.isfinite(res.Energy).all()
+        assert res.min_energy <= res.Energy.min() + 1e-9
+        assert 0.0 <= res.acceptance_rate <= 1.0
+        # colder replicas should generally find lower energies
+        assert res.Energy[-1] < res.Energy[0]
+
+    def test_doNMC_length_mismatch_raises(self):
+        prob = random_sk(8, seed=12)
+        with pytest.raises(ValueError):
+            npt_run(prob, [0.5, 1.0], [True], NPTConfig(num_sweeps_MCMC=10,
+                                                        num_swap_attempts=1),
+                    jax.random.PRNGKey(0))
+
+    def test_finds_ground_state_small(self):
+        prob = random_sk(12, seed=13)
+        norm, _ = prob.normalized()
+        _, gs = brute_force_gs(norm)
+        beta_list = np.array([0.5, 1.0, 2.0, 3.5])
+        cfg = NPTConfig(num_sweeps_MCMC=400, num_sweeps_read=200,
+                        num_swap_attempts=4, num_swapping_pairs=1,
+                        num_cycles=1, global_beta=3.0, lambda_start=3.0,
+                        tolerance=1e-8, max_iterations=500, block_size=16)
+        res = npt_run(prob, beta_list, [False] * 3 + [True], cfg,
+                      jax.random.PRNGKey(1))
+        assert res.min_energy <= gs + 1e-4
+
+
+class TestAPTICM:
+    def test_run_and_move_counters(self):
+        prob = random_sk(12, seed=17).normalized()[0]
+        beta_list = np.array([0.3, 0.7, 1.2])
+        cfg = APTICMConfig(num_sweeps_MCMC=40, num_sweeps_read=20,
+                           num_swap_attempts=4, num_swapping_pairs=1,
+                           num_subreplicas=4, block_size=16)
+        res = apt_icm_run(prob, beta_list, cfg, jax.random.PRNGKey(0))
+        assert res.Energy.shape == (3,)
+        assert res.final_states.shape == (3, 4, 12)
+        assert set(np.unique(res.final_states)) <= {-1.0, 1.0}
+        assert res.icm_moves + res.icm_flips > 0
+        assert np.isfinite(res.min_energy)
+
+    def test_feedback_mode(self):
+        prob = random_sk(10, seed=18).normalized()[0]
+        cfg = APTICMConfig(num_sweeps_MCMC=20, num_sweeps_read=10,
+                           num_swap_attempts=2, num_subreplicas=2,
+                           faithful_quirks=False, block_size=16)
+        res = apt_icm_run(prob, [0.5, 1.5], cfg, jax.random.PRNGKey(0))
+        assert np.isfinite(res.Energy).all()

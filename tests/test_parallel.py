@@ -1,0 +1,107 @@
+"""Multi-chip paths on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmc_tpu.io.generators import random_sk
+from nmc_tpu.parallel import (EnsembleConfig, EnsemblePT, ShardedNPT,
+                              ShardedNPTConfig, metropolis_label_swap,
+                              select_pairs_device)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+class TestSwapOps:
+    def test_select_pairs_non_overlapping(self):
+        for seed in range(5):
+            picks = np.asarray(select_pairs_device(
+                jax.random.PRNGKey(seed), num_replicas=10, num_pairs=3))
+            valid = picks[picks >= 0]
+            assert len(valid) == 3
+            # each pair (b, b+1): no two picks may be adjacent or equal
+            for i in range(len(valid)):
+                for j in range(i + 1, len(valid)):
+                    assert abs(int(valid[i]) - int(valid[j])) >= 2
+
+    def test_select_pairs_exhaustion_returns_minus_one(self):
+        picks = np.asarray(select_pairs_device(
+            jax.random.PRNGKey(0), num_replicas=3, num_pairs=3))
+        assert (picks == -1).sum() >= 1  # only 1 non-overlapping pair exists
+
+    def test_label_swap_preserves_permutation(self):
+        R = 8
+        b2s = jnp.arange(R, dtype=jnp.int32)
+        betas = jnp.linspace(0.5, 3.0, R)
+        energies = jax.random.normal(jax.random.PRNGKey(1), (R,)) * 10
+        res = metropolis_label_swap(jax.random.PRNGKey(2), b2s, betas,
+                                    energies, num_pairs=3)
+        b2s_new = np.asarray(res.beta_to_slot)
+        s2b_new = np.asarray(res.slot_to_beta)
+        assert sorted(b2s_new.tolist()) == list(range(R))
+        np.testing.assert_array_equal(s2b_new[b2s_new], np.arange(R))
+
+    def test_swap_always_accepts_favorable(self):
+        # hot replica (low beta) holding much lower energy than cold:
+        # dB > 0, dE > 0 -> exp > 1 -> always accept
+        R = 2
+        b2s = jnp.arange(R, dtype=jnp.int32)
+        betas = jnp.array([0.1, 5.0])
+        energies = jnp.array([-100.0, 0.0])  # slot0 (hot) has lower energy
+        accepted = []
+        for seed in range(10):
+            res = metropolis_label_swap(jax.random.PRNGKey(seed), b2s, betas,
+                                        energies, num_pairs=1)
+            accepted.append(bool(res.accepted[0]))
+        assert all(accepted)
+
+
+class TestShardedNPT:
+    def test_round_runs_on_mesh_and_descends(self):
+        prob = random_sk(24, seed=1).normalized()[0]
+        beta_list = np.linspace(0.3, 3.0, 16)
+        doNMC = [False] * 12 + [True] * 4
+        cfg = ShardedNPTConfig(sweeps_per_phase=8, num_cycles=1,
+                               num_swapping_pairs=3, global_beta=2.0,
+                               block_size=32, lbp_max_iterations=10)
+        pt = ShardedNPT(prob, beta_list, doNMC, cfg)
+        assert pt.n_dev == 8 and pt.R_local == 2
+        state = pt.init_state(jax.random.PRNGKey(0))
+        e0 = prob.energy(pt.states_by_temperature(state)).mean()
+        state, metrics = pt.run(state, 6)
+        # permutation stays consistent
+        s2b = np.asarray(state.slot_to_beta)
+        b2s = np.asarray(state.beta_to_slot)
+        np.testing.assert_array_equal(s2b[b2s], np.arange(16))
+        m = pt.states_by_temperature(state)
+        assert set(np.unique(m)) <= {-1.0, 1.0}
+        assert prob.energy(m).mean() < e0  # sampling lowered energies
+        assert np.asarray(metrics.slot_energies).shape == (16,)
+
+    def test_replica_count_must_divide(self):
+        prob = random_sk(8, seed=2)
+        with pytest.raises(ValueError):
+            ShardedNPT(prob, np.linspace(0.5, 2, 9), [False] * 9,
+                       ShardedNPTConfig(block_size=8))
+
+
+class TestEnsemblePT:
+    def test_instances_sharded_and_consistent(self):
+        problems = [random_sk(20, seed=s).normalized()[0] for s in range(8)]
+        beta = np.linspace(0.3, 3.0, 6)
+        ens = EnsemblePT(problems, beta,
+                         EnsembleConfig(num_replicas=6, sweeps_per_round=10,
+                                        num_swapping_pairs=2, block_size=32))
+        state = ens.init_state(jax.random.PRNGKey(0))
+        state = ens.run(state, 4)
+        best = ens.best_states(state)
+        assert best.shape == (8, 20)
+        for i, p in enumerate(problems):
+            assert abs(p.energy(best[i]) - float(state.best_e[i])) < 1e-3
+
+    def test_size_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            EnsemblePT([random_sk(8, 0), random_sk(10, 1)], [0.5, 1.0])
