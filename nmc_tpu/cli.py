@@ -1,0 +1,257 @@
+"""Command-line entry points.
+
+The reference's L7 layer is hand-edited main() scripts loading J.npy/h.npy
+(/root/reference/NMC/nmc.py:644-682, NPT/npt.py:720-795,
+apt_preprocessor.py:234-261, apt_ICM.py:325-364) with no flags. Here each
+solver is a subcommand with proper flags, instance-file loading for all
+four dialects, JSONL metrics, and checkpointing:
+
+    python -m nmc_tpu nmc  --instance path.txt --format wishart ...
+    python -m nmc_tpu apt  --J J.npy --h h.npy ...
+    python -m nmc_tpu npt  --beta-list beta_list_python.npy --nmc-coldest 5 ...
+    python -m nmc_tpu icm  --beta-list beta_list_python.npy ...
+    python -m nmc_tpu generate --kind sk --n 1000 --out inst.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_problem(args):
+    from .core.problem import IsingProblem
+    from .io import loaders
+
+    if args.instance:
+        fmt = args.format
+        fn = {"wishart": loaders.load_wishart, "dcl": loaders.load_dcl,
+              "chimera": loaders.load_chimera,
+              "tree": loaders.load_contrived_tree}[fmt]
+        return fn(args.instance)
+    if args.J:
+        J = np.load(args.J)
+        h = np.load(args.h) if args.h else np.zeros(J.shape[0])
+        return IsingProblem(J, h)
+    raise SystemExit("provide --instance or --J/--h")
+
+
+def _add_problem_args(p):
+    p.add_argument("--instance", help="edge-list instance file")
+    p.add_argument("--format", default="wishart",
+                   choices=["wishart", "dcl", "chimera", "tree"])
+    p.add_argument("--J", help="J.npy (dense matrix)")
+    p.add_argument("--h", help="h.npy")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics", help="JSONL metrics output path")
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--coloring", action="store_true",
+                   help="graph-colored blocks (sparse topologies)")
+
+
+def _metrics(args):
+    from .utils.metrics import MetricsLogger
+    return MetricsLogger(path=args.metrics, echo=True) if args.metrics else \
+        MetricsLogger(echo=False)
+
+
+def cmd_nmc(args):
+    import jax
+    from .models.nmc import NMCConfig, nmc_run
+
+    prob = _load_problem(args)
+    cfg = NMCConfig(
+        num_sweeps_initial=args.sweeps_initial,
+        num_sweeps_per_NMC_phase=args.sweeps_per_phase,
+        num_NMC_cycles=args.cycles, global_beta=args.beta,
+        temp_x=args.temp_x, lambda_start=args.lambda_start,
+        num_chains=args.chains, block_size=args.block_size,
+        use_coloring=args.coloring, record_m=False,
+        tolerance=args.lbp_tolerance, max_iterations=args.lbp_iters,
+    )
+    res = nmc_run(prob, cfg, jax.random.PRNGKey(args.seed),
+                  metrics=_metrics(args))
+    out = {"min_energy": float(res.min_energy.min()),
+           "min_energy_unnormalized": float(res.min_energy.min()
+                                            * res.norm_factor),
+           "num_chains": cfg.num_chains}
+    print(json.dumps(out))
+
+
+def cmd_apt(args):
+    import jax
+    from .models.apt import APTConfig, apt_preprocess
+
+    prob = _load_problem(args)
+    cfg = APTConfig(
+        num_sweeps_MCMC=args.sweeps, num_sweeps_read=args.sweeps_read,
+        num_rng=args.chains, beta_start=args.beta_start, alpha=args.alpha,
+        beta_max=args.beta_max, save_dir=args.out_dir,
+        block_size=args.block_size, use_coloring=args.coloring,
+    )
+    res = apt_preprocess(prob, cfg, jax.random.PRNGKey(args.seed),
+                         metrics=_metrics(args))
+    print(json.dumps({"num_rungs": len(res.beta),
+                      "beta": [round(b, 6) for b in res.beta]}))
+
+
+def cmd_npt(args):
+    import jax
+    from .models.npt import NPTConfig, npt_run
+
+    prob = _load_problem(args)
+    beta_list = np.load(args.beta_list) if args.beta_list else \
+        np.linspace(args.beta_start, args.beta_max, args.replicas)
+    R = beta_list.shape[0]
+    doNMC = [False] * (R - args.nmc_coldest) + [True] * args.nmc_coldest
+    cfg = NPTConfig(
+        num_sweeps_MCMC=args.sweeps, num_sweeps_read=args.sweeps_read,
+        num_swap_attempts=args.swap_attempts,
+        num_swapping_pairs=max(round(args.swap_fraction * R), 1),
+        num_cycles=args.cycles, global_beta=args.beta,
+        temp_x=args.temp_x, lambda_start=args.lambda_start,
+        block_size=args.block_size, use_coloring=args.coloring,
+        record_last_round_m=False,
+        tolerance=args.lbp_tolerance, max_iterations=args.lbp_iters,
+        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
+    res = npt_run(prob, beta_list, doNMC, cfg, jax.random.PRNGKey(args.seed),
+                  metrics=_metrics(args))
+    print(json.dumps({
+        "Energy": [float(e) for e in res.Energy],
+        "min_energy": res.min_energy,
+        "min_energy_unnormalized": res.min_energy * res.norm_factor,
+        "acceptance_rate": res.acceptance_rate,
+    }))
+
+
+def cmd_icm(args):
+    import jax
+    from .models.apt_icm import APTICMConfig, apt_icm_run
+
+    prob = _load_problem(args).normalized()[0]
+    beta_list = np.load(args.beta_list) if args.beta_list else \
+        np.linspace(args.beta_start, args.beta_max, args.replicas)
+    cfg = APTICMConfig(
+        num_sweeps_MCMC=args.sweeps, num_sweeps_read=args.sweeps_read,
+        num_swap_attempts=args.swap_attempts,
+        num_subreplicas=args.subreplicas, block_size=args.block_size,
+        use_coloring=args.coloring,
+    )
+    res = apt_icm_run(prob, beta_list, cfg, jax.random.PRNGKey(args.seed))
+    print(json.dumps({
+        "Energy": [float(e) for e in res.Energy],
+        "min_energy": res.min_energy,
+        "icm_moves": res.icm_moves, "icm_flips": res.icm_flips,
+    }))
+
+
+def cmd_generate(args):
+    from .io import generators, writers
+
+    kind = args.kind
+    if kind == "sk":
+        prob = generators.random_sk(args.n, seed=args.seed)
+        gs = None
+    elif kind == "ea2d":
+        prob = generators.ea_2d(args.L, seed=args.seed)
+        gs = None
+    elif kind == "ea3d":
+        prob = generators.ea_3d(args.L, seed=args.seed)
+        gs = None
+    elif kind == "wishart":
+        prob, t, gs = generators.wishart_planted(args.n, args.alpha,
+                                                 seed=args.seed)
+    elif kind == "contrived":
+        prob, t, gs = generators.contrived_wishart_backbone(
+            args.n, args.alpha, seed=args.seed)
+    else:
+        raise SystemExit(f"unknown kind {kind}")
+    writers.save_edgelist(args.out, prob)
+    print(json.dumps({"n": prob.n, "edges": prob.num_edges,
+                      "gs_energy": gs, "out": args.out}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="nmc_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("nmc", help="single/multi-chain NMC solve")
+    _add_problem_args(p)
+    p.add_argument("--sweeps-initial", type=int, default=10_000)
+    p.add_argument("--sweeps-per-phase", type=int, default=10_000)
+    p.add_argument("--cycles", type=int, default=10)
+    p.add_argument("--beta", type=float, default=2.5)
+    p.add_argument("--temp-x", type=float, default=20.0)
+    p.add_argument("--lambda-start", type=float, default=3.0)
+    p.add_argument("--lbp-tolerance", type=float, default=1e-8)
+    p.add_argument("--lbp-iters", type=int, default=200)
+    p.add_argument("--chains", type=int, default=1)
+    p.set_defaults(fn=cmd_nmc)
+
+    p = sub.add_parser("apt", help="adaptive beta-schedule preprocessor")
+    _add_problem_args(p)
+    p.add_argument("--sweeps", type=int, default=1000)
+    p.add_argument("--sweeps-read", type=int, default=1000)
+    p.add_argument("--chains", type=int, default=100)
+    p.add_argument("--beta-start", type=float, default=0.5)
+    p.add_argument("--alpha", type=float, default=1.25)
+    p.add_argument("--beta-max", type=float, default=30.0)
+    p.add_argument("--out-dir", default="Results/data")
+    p.set_defaults(fn=cmd_apt)
+
+    p = sub.add_parser("npt", help="replica exchange with NMC replicas")
+    _add_problem_args(p)
+    p.add_argument("--beta-list", help="beta_list_python.npy from apt")
+    p.add_argument("--replicas", type=int, default=16)
+    p.add_argument("--beta-start", type=float, default=0.3)
+    p.add_argument("--beta-max", type=float, default=5.0)
+    p.add_argument("--nmc-coldest", type=int, default=5)
+    p.add_argument("--sweeps", type=int, default=10_000)
+    p.add_argument("--sweeps-read", type=int, default=100)
+    p.add_argument("--swap-attempts", type=int, default=10)
+    p.add_argument("--swap-fraction", type=float, default=0.3)
+    p.add_argument("--cycles", type=int, default=10)
+    p.add_argument("--beta", type=float, default=1 / 0.366838 * 5,
+                   help="global_beta for NMC replicas")
+    p.add_argument("--temp-x", type=float, default=20.0)
+    p.add_argument("--lambda-start", type=float, default=3.0)
+    p.add_argument("--lbp-tolerance", type=float, default=1e-8)
+    p.add_argument("--lbp-iters", type=int, default=200)
+    p.add_argument("--checkpoint", help="checkpoint .npz path")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_npt)
+
+    p = sub.add_parser("icm", help="APT + Houdayer ICM baseline")
+    _add_problem_args(p)
+    p.add_argument("--beta-list")
+    p.add_argument("--replicas", type=int, default=8)
+    p.add_argument("--beta-start", type=float, default=0.3)
+    p.add_argument("--beta-max", type=float, default=5.0)
+    p.add_argument("--sweeps", type=int, default=10_000)
+    p.add_argument("--sweeps-read", type=int, default=1000)
+    p.add_argument("--swap-attempts", type=int, default=100)
+    p.add_argument("--subreplicas", type=int, default=10)
+    p.set_defaults(fn=cmd_icm)
+
+    p = sub.add_parser("generate", help="write benchmark instances")
+    p.add_argument("--kind", required=True,
+                   choices=["sk", "ea2d", "ea3d", "wishart", "contrived"])
+    p.add_argument("--n", type=int, default=100)
+    p.add_argument("--L", type=int, default=8)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_generate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -29,6 +30,7 @@ import numpy as np
 
 from ..core.problem import IsingProblem
 from ..ops.engine import SweepEngine
+from ..utils.metrics import MetricsLogger
 
 
 @dataclasses.dataclass
@@ -64,6 +66,7 @@ def apt_preprocess(
     cfg: APTConfig = APTConfig(),
     key: Optional[jax.Array] = None,
     engine: Optional[SweepEngine] = None,
+    metrics: Optional[MetricsLogger] = None,
 ) -> APTResult:
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -93,6 +96,7 @@ def apt_preprocess(
 
     rung = 1
     while sigma_E > sigma_E_min and rung <= cfg.max_rungs:
+        rung_t0 = time.perf_counter()
         if rung != 1:
             beta.append(beta[-1] + cfg.alpha / sigma_E)
 
@@ -103,6 +107,9 @@ def apt_preprocess(
         energies = np.asarray(res.energies)          # [T, num_rng]
         window = energies[-cfg.num_sweeps_read:]      # [num_sweeps_read, R]
         sigma_E = float(np.mean(np.std(window, axis=0)))
+        if metrics is not None:
+            metrics.apt_rung(rung=rung, beta=beta[-1], sigma_E=sigma_E,
+                             seconds=time.perf_counter() - rung_t0)
 
         if beta[-1] > cfg.beta_max:
             # reference logs and breaks BEFORE appending sigma

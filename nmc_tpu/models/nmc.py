@@ -37,6 +37,7 @@ from ..core.problem import IsingProblem
 from ..ops.clusters import cluster_mask, find_clusters, flatten_clusters
 from ..ops.engine import SweepEngine
 from ..ops.lbp import convexification_epsilon, lbp_convexified
+from ..utils.metrics import MetricsLogger
 
 
 @dataclasses.dataclass
@@ -104,6 +105,7 @@ def nmc_subroutine(
     key: jax.Array,
     cfg: NMCConfig,
     all_clusters: Optional[np.ndarray] = None,
+    metrics: Optional[MetricsLogger] = None,
 ) -> NMCResult:
     """The 3-phase NMC cycle loop (/root/reference/NMC/nmc.py:320-440)."""
     n = problem.n
@@ -150,6 +152,12 @@ def nmc_subroutine(
         if not (clusters_provided or cfg.clusters_once):
             all_clusters = _per_chain_clusters(problem, m_star, cfg)
             cl_mask = _stack_masks(n, R, all_clusters)
+        if metrics is not None:
+            metrics.cluster_stats(
+                cycle=cycle,
+                sizes=[int(c.size) for c in all_clusters]
+                if isinstance(all_clusters, list)
+                else [int(np.asarray(all_clusters).size)])
 
         # (C) heated clusters, frozen non-clusters
         beta_spin = np.where(cl_mask, 1.0 / cfg.temp_x, 1.0)
@@ -197,6 +205,7 @@ def nmc_run(
     problem: IsingProblem,
     cfg: NMCConfig = NMCConfig(),
     key: Optional[jax.Array] = None,
+    metrics: Optional[MetricsLogger] = None,
 ) -> NMCResult:
     """Full NMC solve (/root/reference/NMC/nmc.py:442-520): normalize,
     annealed warm-up to find m*, then the NMC cycle loop."""
@@ -215,5 +224,6 @@ def nmc_run(
                       beta=cfg.global_beta, anneal=True, sweeps_per_beta=1,
                       initial_beta=0.0)
     m_star = np.asarray(warm.m_best)
-    res = nmc_subroutine(engine, norm_prob, m_star, k_sub, cfg)
+    res = nmc_subroutine(engine, norm_prob, m_star, k_sub, cfg,
+                         metrics=metrics)
     return res._replace(norm_factor=norm_factor)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
+import time
 from typing import List, NamedTuple, Optional, Sequence
 
 import jax
@@ -28,6 +30,8 @@ import numpy as np
 
 from ..core.problem import IsingProblem
 from ..ops.engine import SweepEngine
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.metrics import MetricsLogger
 from .nmc import NMCConfig, nmc_subroutine
 
 
@@ -58,6 +62,10 @@ class NPTConfig:
     use_coloring: bool = False
     dtype: str = "float32"
     precision: str = "highest"
+    # fault tolerance / observability (absent in the reference; SURVEY.md 5)
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 0      # snapshot every K swap rounds (0 = off)
+    resume: bool = False           # restore from checkpoint_path if present
 
     def derived_budgets(self):
         """Per-swap sweep budgets (/root/reference/NPT/npt.py:577-580)."""
@@ -109,6 +117,7 @@ def npt_run(
     doNMC: Sequence[bool],
     cfg: NPTConfig = NPTConfig(),
     key: Optional[jax.Array] = None,
+    metrics: Optional[MetricsLogger] = None,
 ) -> NPTResult:
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -164,8 +173,25 @@ def npt_run(
     last_energy = np.zeros(R)
     energy_rounds = np.zeros((R, per_swap))
     M_last = None
+    start_round = 0
 
-    for round_i in range(cfg.num_swap_attempts):
+    if cfg.resume and cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        snap, step, extra = load_checkpoint(cfg.checkpoint_path)
+        m_start = snap["m_start"]
+        last_energy = snap["last_energy"]
+        energy_rounds = snap["energy_rounds"]
+        swap_counts = snap["swap_counts"]
+        swap_attempted = snap["swap_attempted"]
+        swap_accepted = snap["swap_accepted"]
+        best_e = float(snap["best_e"])
+        best_state = snap["best_state"]
+        key = jnp.asarray(snap["key"])
+        swap_index = int(snap["swap_index"])
+        host_rng.bit_generator.state = extra["rng_state"]
+        start_round = int(step)
+
+    for round_i in range(start_round, cfg.num_swap_attempts):
+        round_t0 = time.perf_counter()
         key, k_mcmc, k_nmc = jax.random.split(key, 3)
         record = cfg.record_last_round_m and round_i == cfg.num_swap_attempts - 1
         if record:
@@ -225,6 +251,31 @@ def npt_run(
                 m_start[[sel - 1, nxt - 1]] = m_start[[nxt - 1, sel - 1]]
                 last_energy[[sel - 1, nxt - 1]] = last_energy[[nxt - 1, sel - 1]]
             swap_index += 1
+
+        if metrics is not None:
+            metrics.swap_stats(round_index=round_i,
+                               pairs=[list(p) for p in selected],
+                               accepted=int(swap_counts[round_i]),
+                               energies=last_energy)
+            metrics.sweep_stats(phase="npt_round", num_sweeps=per_swap,
+                                num_chains=R, num_spins=n,
+                                seconds=time.perf_counter() - round_t0,
+                                min_energy=best_e)
+        if (cfg.checkpoint_path and cfg.checkpoint_every
+                and (round_i + 1) % cfg.checkpoint_every == 0):
+            save_checkpoint(
+                cfg.checkpoint_path,
+                {"m_start": m_start, "last_energy": last_energy,
+                 "energy_rounds": energy_rounds,
+                 "swap_counts": swap_counts,
+                 "swap_attempted": swap_attempted,
+                 "swap_accepted": swap_accepted,
+                 "best_e": best_e, "best_state": best_state,
+                 "key": np.asarray(key), "swap_index": swap_index},
+                step=round_i + 1,
+                extra={"rng_state": host_rng.bit_generator.state,
+                       "beta_list": beta_list},
+            )
 
     # Reference-semantics replica energies: min over the FIRST
     # read_per_swap sweeps of the last round (/root/reference/NPT/npt.py:685-692,

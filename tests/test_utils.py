@@ -1,0 +1,122 @@
+"""Aux subsystems: metrics logging, checkpoint/resume, writers, CLI."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from nmc_tpu.io.generators import random_sk
+from nmc_tpu.io.loaders import load_contrived_tree, load_wishart
+from nmc_tpu.io.writers import save_edgelist
+from nmc_tpu.models.npt import NPTConfig, npt_run
+from nmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from nmc_tpu.utils.metrics import MetricsLogger, flips_per_second, timed
+
+
+class TestMetrics:
+    def test_jsonl_sink(self, tmp_path):
+        path = str(tmp_path / "m.jsonl")
+        m = MetricsLogger(path=path)
+        m.sweep_stats(phase="x", num_sweeps=10, num_chains=2, num_spins=5,
+                      seconds=0.1, min_energy=-3.0)
+        m.swap_stats(round_index=0, pairs=[[1, 2]], accepted=1)
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["kind"] == "sweeps"
+        assert lines[0]["attempts_per_sec"] == pytest.approx(1000.0)
+        assert len(m.of_kind("swap")) == 1
+
+    def test_timed(self):
+        m = MetricsLogger()
+        with timed(m, "section", tag="a"):
+            pass
+        assert m.records[0]["kind"] == "section"
+        assert m.records[0]["seconds"] >= 0
+
+    def test_flips_per_second(self):
+        assert flips_per_second(10, 10, 10, 2.0) == 500.0
+
+
+class TestCheckpoint:
+    def test_roundtrip_pytree(self, tmp_path):
+        path = str(tmp_path / "ck.npz")
+        state = {"m": np.ones((3, 4)), "key": np.array([1, 2], np.uint32),
+                 "best": {"e": -3.5, "idx": 7, "name": "x"},
+                 "trace": [np.arange(3), None, True]}
+        save_checkpoint(path, state, step=12, extra={"rng": {"a": 1}})
+        loaded, step, extra = load_checkpoint(path)
+        assert step == 12
+        np.testing.assert_array_equal(loaded["m"], state["m"])
+        assert loaded["best"] == {"e": -3.5, "idx": 7, "name": "x"}
+        np.testing.assert_array_equal(loaded["trace"][0], np.arange(3))
+        assert loaded["trace"][1] is None and loaded["trace"][2] is True
+        assert extra["rng"] == {"a": 1}
+
+    def test_npt_resume_matches_uninterrupted(self, tmp_path):
+        prob = random_sk(10, seed=21)
+        beta_list = np.array([0.5, 1.0, 2.0])
+        ck = str(tmp_path / "npt.npz")
+        base = dict(num_sweeps_MCMC=60, num_sweeps_read=30,
+                    num_swap_attempts=6, num_swapping_pairs=1,
+                    block_size=16, record_last_round_m=False)
+        # uninterrupted run
+        full = npt_run(prob, beta_list, [False] * 3,
+                       NPTConfig(**base), jax.random.PRNGKey(5))
+        # run with checkpointing, then resume a fresh run from round 3
+        npt_run(prob, beta_list, [False] * 3,
+                NPTConfig(**base, checkpoint_path=ck, checkpoint_every=3),
+                jax.random.PRNGKey(5))
+        assert os.path.exists(ck)
+        resumed = npt_run(prob, beta_list, [False] * 3,
+                          NPTConfig(**base, checkpoint_path=ck, resume=True),
+                          jax.random.PRNGKey(5))
+        # resume from the final checkpoint (round 6): resumed returns the
+        # checkpointed results identically
+        np.testing.assert_allclose(resumed.Energy, full.Energy)
+        np.testing.assert_allclose(resumed.min_energy, full.min_energy)
+
+
+class TestWriters:
+    def test_edgelist_roundtrip(self, tmp_path):
+        prob = random_sk(9, seed=3)
+        prob.h[:] = np.random.default_rng(0).normal(size=9)
+        path = str(tmp_path / "inst.txt")
+        save_edgelist(path, prob)
+        back = load_contrived_tree(path)  # 0-indexed with diagonal fields
+        np.testing.assert_allclose(back.J, prob.J, atol=1e-10)
+        np.testing.assert_allclose(back.h, prob.h, atol=1e-10)
+
+
+class TestCLI:
+    def test_generate_and_solve(self, tmp_path, monkeypatch, capsys):
+        from nmc_tpu.cli import main
+        monkeypatch.chdir(tmp_path)
+        main(["generate", "--kind", "wishart", "--n", "16", "--alpha",
+              "0.5", "--seed", "1", "--out", "inst.txt"])
+        gen = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert gen["n"] == 16 and gen["gs_energy"] is not None
+
+        main(["nmc", "--instance", "inst.txt", "--format", "wishart",
+              "--sweeps-initial", "50", "--sweeps-per-phase", "30",
+              "--cycles", "1", "--chains", "2", "--block-size", "16",
+              "--beta", "2.0"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # planted instance: the solver should get at or below the planted
+        # energy's normalized value quickly is not guaranteed in 1 cycle;
+        # just check structure + finiteness
+        assert np.isfinite(out["min_energy"])
+
+    def test_npt_cli_with_metrics(self, tmp_path, monkeypatch, capsys):
+        from nmc_tpu.cli import main
+        monkeypatch.chdir(tmp_path)
+        main(["generate", "--kind", "sk", "--n", "12", "--out", "sk.txt"])
+        capsys.readouterr()
+        main(["npt", "--instance", "sk.txt", "--replicas", "3",
+              "--nmc-coldest", "0", "--sweeps", "60", "--sweeps-read", "30",
+              "--swap-attempts", "3", "--block-size", "16",
+              "--metrics", "metrics.jsonl"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(out["Energy"]) == 3
+        kinds = {json.loads(l)["kind"] for l in open("metrics.jsonl")}
+        assert "swap" in kinds and "sweeps" in kinds
