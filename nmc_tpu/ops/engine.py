@@ -42,11 +42,13 @@ class SweepEngine:
         block_order: str = "fixed",
         dtype=jnp.float32,
         precision: str = "highest",
+        backend: str = "auto",   # 'auto' | 'xla' | 'pallas'
     ):
         self.problem = problem
         self.dtype = dtype
         self.block_order = block_order
         self.precision = precision
+        self.backend = backend
         np_dtype = np.dtype(jnp.dtype(dtype).name)
         if use_coloring and groups is None:
             from .coloring import color_groups
@@ -147,6 +149,43 @@ class SweepEngine:
             mask = mask & self.active
 
         phi = self.fields(m0) if phi0 is None else phi0
+
+        # The Pallas kernel covers the colored (block-Jacobi-exact) layout
+        # with fixed block order and no state recording; it keeps J/m/phi
+        # VMEM-resident across all sweeps (ops/sweeps_pallas.py). Everything
+        # else runs on the XLA engine.
+        use_pallas = (
+            self.backend in ("pallas", "auto")
+            and self.blocked.colored
+            and self.within_block == "jacobi"
+            and self.block_order == "fixed"
+            and not record_m
+            and self.dtype == jnp.float32
+            and jax.devices()[0].platform == "tpu"
+            and self.backend != "xla"
+        )
+        if self.backend == "pallas" and not use_pallas:
+            raise ValueError(
+                "pallas backend requires a colored float32 layout on TPU "
+                "with fixed block order and record_m=False")
+        if use_pallas:
+            from .sweeps_pallas import pallas_colored_sweeps
+
+            seed = jnp.int32(
+                jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max))
+            pres = pallas_colored_sweeps(
+                self.J_full, self.h, m0, phi, seed, beta_sweep, bs, mask,
+                num_sweeps=num_sweeps, block_size=self.blocked.block_size,
+            )
+            res = SweepResult(m=pres.m, phi=pres.phi, m_best=pres.m_best,
+                              e_best=pres.e_best, energies=pres.energies,
+                              M=None)
+            if blocked_output:
+                return res
+            return EngineResult(
+                m=self.from_blocked(res.m),
+                m_best=self.from_blocked(res.m_best),
+                e_best=res.e_best, energies=res.energies, M=None)
 
         res = run_sweeps(
             self.J_rows, self.J_diag, self.h, m0, phi, key,
