@@ -86,6 +86,8 @@ def measure_reference_python(n=1024, budget_s=2.0):
 
 
 def main():
+    from nmc_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--sweep", action="store_true")

@@ -1,0 +1,137 @@
+"""Solution-quality evaluation against shipped ground truths.
+
+The reference ships exact ground-state energies alongside its benchmark
+instances (gs_energies.txt per Wishart folder, groundstates_otn2d.txt for
+Chimera droplets, *_sol.txt for DCL — see BASELINE.md) but nothing in its
+test suite consumes them. This harness does: run a solver over a folder of
+instances and report ground-state hit rate, residual energies and
+time-to-target — the quality metrics the rebuild is judged on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .core.problem import IsingProblem
+from .io.loaders import (load_chimera, load_wishart, read_gs_energies,
+                         read_otn2d_groundstates)
+
+
+@dataclasses.dataclass
+class InstanceEval:
+    name: str
+    gs_energy: float          # ground truth, in RAW (unnormalized) units
+    found_energy: float       # best energy found, raw units
+    hit: bool                 # found within tolerance of ground truth
+    seconds: float
+    sweeps_used: int
+
+
+@dataclasses.dataclass
+class EvalReport:
+    instances: List[InstanceEval]
+
+    @property
+    def hit_rate(self) -> float:
+        return float(np.mean([e.hit for e in self.instances]))
+
+    @property
+    def mean_residual(self) -> float:
+        return float(np.mean([e.found_energy - e.gs_energy
+                              for e in self.instances]))
+
+    def summary(self) -> Dict:
+        return {
+            "num_instances": len(self.instances),
+            "hit_rate": self.hit_rate,
+            "mean_residual": self.mean_residual,
+            "total_seconds": float(sum(e.seconds for e in self.instances)),
+        }
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "summary": self.summary(),
+            "instances": [dataclasses.asdict(e) for e in self.instances],
+        })
+
+
+def wishart_folder_instances(folder: str, limit: Optional[int] = None):
+    """(name, problem, gs_energy) for a reference wishart_* folder."""
+    gs = read_gs_energies(os.path.join(folder, "gs_energies.txt"))
+    names = sorted(gs.keys())[:limit]
+    for name in names:
+        path = os.path.join(folder, name)
+        if os.path.exists(path):
+            yield name, load_wishart(path), gs[name]
+
+
+def chimera_folder_instances(folder: str, limit: Optional[int] = None):
+    """(name, problem, gs_energy) for a chimera*_spinglass_power folder."""
+    gs = read_otn2d_groundstates(
+        os.path.join(folder, "groundstates_otn2d.txt"))
+    names = sorted(gs.keys())[:limit]
+    for name in names:
+        path = os.path.join(folder, name)
+        if os.path.exists(path):
+            yield name, load_chimera(path), gs[name][0]
+
+
+def evaluate_solver(
+    instances,                      # iterable of (name, problem, gs_energy)
+    solve: Callable[[IsingProblem], float],
+    *,
+    tolerance: float = 1e-6,
+    sweeps_used: int = 0,
+) -> EvalReport:
+    """Run `solve` (returns NORMALIZED best energy; the harness rescales by
+    the instance's norm factor) over instances; gs energies are raw."""
+    out = []
+    for name, problem, gs_energy in instances:
+        norm_factor = float(np.max(np.abs(problem.J))) or 1.0
+        t0 = time.perf_counter()
+        e_norm = solve(problem)
+        dt = time.perf_counter() - t0
+        e_raw = e_norm * norm_factor
+        rel_tol = max(tolerance * abs(gs_energy), 1e-9)
+        out.append(InstanceEval(
+            name=name, gs_energy=float(gs_energy),
+            found_energy=float(e_raw),
+            hit=bool(e_raw <= gs_energy + rel_tol),
+            seconds=dt, sweeps_used=sweeps_used,
+        ))
+    return EvalReport(instances=out)
+
+
+def make_pt_solver(num_replicas=12, beta_min=0.3, beta_max=4.0,
+                   sweeps=2000, swap_attempts=20, key_seed=0,
+                   block_size=128, use_coloring=False,
+                   nmc_coldest=0, **npt_kwargs):
+    """A standard NPT-based solve() for evaluation runs."""
+    import jax
+
+    from .models.npt import NPTConfig, npt_run
+
+    def solve(problem: IsingProblem) -> float:
+        beta_list = np.geomspace(beta_min, beta_max, num_replicas)
+        doNMC = [False] * (num_replicas - nmc_coldest) + [True] * nmc_coldest
+        cfg = NPTConfig(
+            num_sweeps_MCMC=sweeps, num_sweeps_read=sweeps,
+            num_swap_attempts=swap_attempts,
+            num_swapping_pairs=max(num_replicas // 4, 1),
+            num_cycles=2, record_last_round_m=False,
+            block_size=block_size, use_coloring=use_coloring,
+            lambda_start=3.0, tolerance=1e-8, max_iterations=300,
+            **npt_kwargs,
+        )
+        res = npt_run(problem, beta_list, doNMC, cfg,
+                      jax.random.PRNGKey(key_seed))
+        return res.min_energy
+
+    return solve

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.problem import IsingProblem
-from ..ops.clusters import disagreement_clusters
+from ..ops.clusters import disagreement_clusters_adj
 from ..ops.engine import SweepEngine
 from .npt import select_non_overlapping_pairs
 
@@ -97,6 +97,8 @@ def apt_icm_run(
     m_start = np.asarray(
         engine.from_blocked(engine.init_states(k_init, R * S)), dtype=np.float64
     ).reshape(R, S, n)
+    from .. import native
+    adjacency = native.CSRAdjacency(norm_prob.J)  # built once, reused per move
     host_rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel()[-1])
 
     # all R*S chains share one batched kernel; chain (r, s) runs at beta_list[r]
@@ -145,7 +147,7 @@ def apt_icm_run(
                 j, k_sub = int(shuffled[2 * p]), int(shuffled[2 * p + 1])
                 s1 = icm_states[r, j].copy()
                 s2 = icm_states[r, k_sub].copy()
-                clusters = disagreement_clusters(norm_prob.J, s1, s2)
+                clusters = disagreement_clusters_adj(adjacency, s1, s2)
                 if not clusters:
                     continue
                 cl = clusters[int(host_rng.integers(len(clusters)))]

@@ -110,6 +110,30 @@ def disagreement_clusters(
     return [diff[labels == c] for c in range(ncomp)]
 
 
+def disagreement_clusters_adj(adj, s1, s2) -> List[np.ndarray]:
+    """Houdayer clusters over a prebuilt adjacency; uses the native C++
+    union-find (nmc_tpu/native) when available, scipy otherwise. `adj` is a
+    native.CSRAdjacency built ONCE per problem — the per-call cost is
+    O(active nodes + incident edges) instead of re-densifying J."""
+    from .. import native
+
+    s1 = np.asarray(s1).reshape(-1)
+    s2 = np.asarray(s2).reshape(-1)
+    active = (s1 * s2) < 0
+    if not active.any():
+        return []
+    if native.available():
+        return native.connected_components_masked(adj, active)
+    # scipy fallback
+    diff = np.flatnonzero(active)
+    J_mask = csr_matrix(
+        (np.ones_like(adj.indices, dtype=np.int8),
+         adj.indices, adj.indptr), shape=(adj.n, adj.n))
+    sub = J_mask[diff][:, diff]
+    ncomp, labels = connected_components(sub, directed=False)
+    return [diff[labels == c] for c in range(ncomp)]
+
+
 def disagreement_labels_device(
     J: jax.Array, s1: jax.Array, s2: jax.Array, num_iters: int = 32
 ) -> jax.Array:
