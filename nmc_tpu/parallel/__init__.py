@@ -10,10 +10,14 @@ The reference's only parallel backend is a single-node ProcessPoolExecutor
     R scalars per round);
   * instance-ensemble parallelism across chips: parallel/ensemble.EnsemblePT
     (instances sharded, zero cross-shard communication);
-  * swap machinery shared by both: parallel/swaps.py.
+  * spin(J)-axis sharding when N outgrows one chip's HBM:
+    parallel/spin_sharded.SpinShardedSweeper (column-sharded J + phi,
+    per-block psum of dm only);
+  * swap machinery shared by all: parallel/swaps.py.
 """
 
 from .ensemble import EnsembleConfig, EnsemblePT, EnsembleState
+from .spin_sharded import SpinShardedConfig, SpinShardedState, SpinShardedSweeper
 from .sharded_pt import RoundMetrics, ShardedNPT, ShardedNPTConfig, ShardedPTState
 from .swaps import metropolis_label_swap, select_pairs_device
 
@@ -21,4 +25,5 @@ __all__ = [
     "ShardedNPT", "ShardedNPTConfig", "ShardedPTState", "RoundMetrics",
     "EnsemblePT", "EnsembleConfig", "EnsembleState",
     "metropolis_label_swap", "select_pairs_device",
+    "SpinShardedSweeper", "SpinShardedConfig", "SpinShardedState",
 ]
