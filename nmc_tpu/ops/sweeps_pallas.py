@@ -168,7 +168,7 @@ def pallas_colored_sweeps(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         jnp.asarray([seed], jnp.int32),
-        jnp.asarray(beta_sweep, jnp.float32),
+        jnp.broadcast_to(jnp.asarray(beta_sweep, jnp.float32), (num_sweeps,)),
         jnp.asarray(J, jnp.float32),
         jnp.asarray(h, jnp.float32),
         jnp.broadcast_to(jnp.asarray(beta_spin, jnp.float32), (R, n_pad)),
