@@ -191,6 +191,8 @@ def apt_icm_run(
 
     trace = energies_round[:, 0, :read_per_swap]
     Energy = trace.min(axis=1)
+    # exact float64 energy of the best state (device energies are float32)
+    best_e = float(norm_prob.energy(best_state))
     return APTICMResult(
         Energy=Energy, energy_trace=trace, final_states=m_start,
         min_energy=best_e, best_state=best_state, swap_counts=swap_counts,

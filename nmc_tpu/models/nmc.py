@@ -174,6 +174,8 @@ def nmc_subroutine(
 
     energy_overall = np.concatenate(energy_segs, axis=0)
     M_overall = np.concatenate(m_segs, axis=0) if cfg.record_m else None
+    # exact float64 energies of the best states (device energies are f32)
+    best_e = np.asarray(problem.energy(best_m))
     flat_last = (all_clusters[0] if isinstance(all_clusters, list)
                  else np.asarray(all_clusters))
     return NMCResult(

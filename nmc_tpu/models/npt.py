@@ -282,6 +282,8 @@ def npt_run(
     # replica_energy iterates range(num_sweeps) from 0 — quirk preserved).
     trace = energy_rounds[:, :max(read_per_swap, 1)]
     Energy = trace.min(axis=1)
+    # exact float64 energy of the best state (device energies are float32)
+    best_e = float(norm_prob.energy(best_state))
 
     return NPTResult(
         M=M_last, Energy=Energy, energy_trace=trace,

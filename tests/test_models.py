@@ -110,7 +110,9 @@ class TestNPT:
         assert res.M.shape == (5, 14, 40)
         assert res.energy_trace.shape == (5, 20)
         assert np.isfinite(res.Energy).all()
-        assert res.min_energy <= res.Energy.min() + 1e-9
+        # min_energy is the exact f64 energy of the best state; the Energy
+        # trace is f32 device output — compare at f32 tolerance
+        assert res.min_energy <= res.Energy.min() + 1e-4
         assert 0.0 <= res.acceptance_rate <= 1.0
         # colder replicas should generally find lower energies
         assert res.Energy[-1] < res.Energy[0]
