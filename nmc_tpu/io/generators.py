@@ -158,3 +158,47 @@ def contrived_wishart_backbone(
     else:
         gs_energy = float("nan")  # cross links may shift the ground state
     return prob, t, gs_energy
+
+
+def chimera_graph(m: int, n: Optional[int] = None, t: int = 4,
+                  seed: int = 0, pm: bool = True) -> IsingProblem:
+    """Chimera topology C_{m,n,t}: an m x n grid of K_{t,t} bipartite cells
+    with horizontal/vertical inter-cell couplings (the reference's droplet
+    instances live on C_{4..16,*,4}; N = 2*t*m*n). pm=True draws +-J
+    couplings, else Gaussian. 2-colorable within cells; the full graph
+    greedy-colors with <= 2t colors in practice, usually 2-4.
+    """
+    rng = np.random.default_rng(seed)
+    if n is None:
+        n = m
+    N = 2 * t * m * n
+
+    def left(i, j, k):   # 'left' partition spin k of cell (i, j)
+        return ((i * n + j) * 2) * t + k
+
+    def right(i, j, k):
+        return ((i * n + j) * 2 + 1) * t + k
+
+    J = np.zeros((N, N))
+
+    def draw():
+        return float(rng.choice([-1.0, 1.0])) if pm else float(rng.normal())
+
+    for i in range(m):
+        for j in range(n):
+            for a in range(t):          # intra-cell bipartite K_{t,t}
+                for b in range(t):
+                    w = draw()
+                    J[left(i, j, a), right(i, j, b)] = w
+                    J[right(i, j, b), left(i, j, a)] = w
+            if i + 1 < m:               # vertical: left partitions couple
+                for k in range(t):
+                    w = draw()
+                    J[left(i, j, k), left(i + 1, j, k)] = w
+                    J[left(i + 1, j, k), left(i, j, k)] = w
+            if j + 1 < n:               # horizontal: right partitions couple
+                for k in range(t):
+                    w = draw()
+                    J[right(i, j, k), right(i, j + 1, k)] = w
+                    J[right(i, j + 1, k), right(i, j, k)] = w
+    return IsingProblem(J, np.zeros(N), name=f"chimera_{m}x{n}x{t}_s{seed}")

@@ -36,7 +36,8 @@ import numpy as np
 from ..core.problem import IsingProblem
 from ..ops.clusters import cluster_mask, find_clusters, flatten_clusters
 from ..ops.engine import SweepEngine
-from ..ops.lbp import convexification_epsilon, lbp_convexified
+from ..ops.lbp import (convexification_epsilon, lbp_convexified,
+                       lbp_convexified_batch)
 from ..utils.metrics import MetricsLogger
 
 
@@ -192,9 +193,27 @@ def nmc_subroutine(
 
 
 def _per_chain_clusters(problem, m_star, cfg) -> list:
-    """Clusters per chain (list of flat index arrays, length R)."""
-    return [_extract_clusters(problem, m_star[r], cfg)
-            for r in range(m_star.shape[0])]
+    """Clusters per chain (list of flat index arrays, length R).
+
+    The lambda-annealed LBP runs vmapped over chains (one dispatch per
+    rung); the irregular threshold/growth pass stays host-side per chain.
+    """
+    R = m_star.shape[0]
+    if R == 1:
+        return [_extract_clusters(problem, m_star[0], cfg)]
+    eps = convexification_epsilon(problem.J, problem.h)
+    marginals = lbp_convexified_batch(
+        jnp.asarray(problem.J), jnp.asarray(problem.h), cfg.global_beta,
+        np.asarray(m_star, dtype=np.float64), eps,
+        lambda_start=cfg.lambda_start, lambda_end=cfg.lambda_end,
+        lambda_reduction_factor=cfg.lambda_reduction_factor,
+        tolerance=cfg.tolerance, max_iterations=cfg.max_iterations)
+    return [
+        flatten_clusters(find_clusters(
+            problem.J, marginals[r], cfg.threshold_initial,
+            cfg.threshold_cutoff, cfg.threshold_step))
+        for r in range(R)
+    ]
 
 
 def _stack_masks(n, R, all_clusters) -> np.ndarray:

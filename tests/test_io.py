@@ -125,3 +125,15 @@ class TestGenerators:
             t2 = t.copy()
             t2[i] *= -1
             assert prob.energy(t2) > e_gs - 1e-12
+
+
+def test_chimera_graph_generator():
+    from nmc_tpu.io.generators import chimera_graph
+    from nmc_tpu.ops.coloring import num_colors
+    prob = chimera_graph(2, 2, t=4, seed=0)
+    assert prob.n == 2 * 4 * 2 * 2  # 2*t*m*n = 32
+    assert np.allclose(prob.J, prob.J.T)
+    # degree: intra-cell t plus up to 2 inter-cell links
+    deg = (prob.J != 0).sum(axis=1)
+    assert deg.min() >= 4 and deg.max() <= 6
+    assert num_colors(prob.J) <= 4

@@ -140,3 +140,21 @@ def test_disagreement_labels_device_matches_host(rng):
             by_label.setdefault(labels[i], []).append(i)
     assert sorted(tuple(v) for v in by_label.values()) == \
            sorted(tuple(sorted(c.tolist())) for c in host)
+
+
+def test_batched_convexified_matches_per_chain(rng):
+    from nmc_tpu.ops.lbp import lbp_convexified_batch
+    J, h = tree_instance(rng)
+    beta = 2.0
+    eps = convexification_epsilon(J, h)
+    m_stars = np.sign(rng.normal(size=(4, J.shape[0])))
+    batch = lbp_convexified_batch(
+        jnp.asarray(J), jnp.asarray(h), beta, m_stars, eps,
+        lambda_start=1.5, lambda_end=0.01, lambda_reduction_factor=0.7,
+        tolerance=1e-9, max_iterations=200)
+    for r in range(4):
+        single = lbp_convexified(
+            jnp.asarray(J), jnp.asarray(h), beta, m_stars[r], eps,
+            lambda_start=1.5, lambda_end=0.01, lambda_reduction_factor=0.7,
+            tolerance=1e-9, max_iterations=200)
+        np.testing.assert_allclose(batch[r], single.marginal, atol=1e-12)
