@@ -66,6 +66,8 @@ def mcmc_sequential(
     use_hash_table: bool = False,
     rng: Optional[np.random.Generator] = None,
     incremental: bool = True,
+    uniforms: Optional[np.ndarray] = None,   # [num_sweeps, N] override
+    scan_order: str = "random",              # 'random' | 'fixed'
 ) -> np.ndarray:
     """Sequential random-scan heat-bath Gibbs, returning M [N, num_sweeps].
 
@@ -74,6 +76,10 @@ def mcmc_sequential(
     with one host-side improvement: `incremental=True` maintains the local
     fields with O(deg) updates per flip instead of recomputing J@m per spin
     — identical trajectories draw-for-draw, O(N) times faster.
+
+    `uniforms`/`scan_order='fixed'` let callers inject the exact random
+    draws and the 0..N-1 scan order, enabling draw-for-draw trajectory
+    equality checks against the device engine (tests/test_faithful.py).
     """
     if rng is None:
         rng = np.random.default_rng(0)
@@ -101,7 +107,8 @@ def mcmc_sequential(
         else:
             beta_jj = beta
 
-        for kk in rng.permutation(N):
+        order = np.arange(N) if scan_order == "fixed" else rng.permutation(N)
+        for pos, kk in enumerate(order):
             if use_cache:
                 x = hash_table.lookup(m)
                 if x is None:
@@ -113,7 +120,9 @@ def mcmc_sequential(
             else:
                 x_kk = (J @ m + h)[kk]
 
-            new = np.sign(np.tanh(beta_jj * x_kk) - 2.0 * rng.random() + 1.0)
+            u = (uniforms[jj, pos] if uniforms is not None
+                 else rng.random())
+            new = np.sign(np.tanh(beta_jj * x_kk) - 2.0 * u + 1.0)
             if phi is not None and new != m[kk]:
                 phi += (new - m[kk]) * J[:, kk]
             m[kk] = new
