@@ -181,3 +181,30 @@ def block_problem(
         J_rows=J_rows, J_diag=J_diag, h=hp, active=active, perm=perm,
         inv_perm=inv_perm, n=n, block_size=block_size, colored=colored,
     )
+
+
+def block_sparse_tiles(blocked: BlockedProblem):
+    """Block-sparse view of J for the sweep engine's phi update.
+
+    For each spin row-block b, lists the column tiles (width block_size)
+    containing any nonzero coupling: returns (col_idx [nB, K] int32,
+    J_tiles [nB, K, B, B]) padded with zero tiles up to the max count K.
+    On sparse topologies with locality-preserving orderings this shrinks
+    the phi-update matmul work by n_pad / (K * B) (see docs/BENCHMARKS.md).
+    """
+    nB = blocked.num_blocks
+    B = blocked.block_size
+    J_rows = blocked.J_rows                      # [nB, B, n_pad]
+    per_block = []
+    for b in range(nB):
+        tiles = J_rows[b].reshape(B, nB, B)      # [B, col_tile, B]
+        nz = np.flatnonzero(np.any(tiles != 0, axis=(0, 2)))
+        per_block.append(nz)
+    K = max((len(nz) for nz in per_block), default=1) or 1
+    col_idx = np.zeros((nB, K), dtype=np.int32)
+    J_tiles = np.zeros((nB, K, B, B), dtype=J_rows.dtype)
+    for b, nz in enumerate(per_block):
+        for k, j in enumerate(nz):
+            col_idx[b, k] = j
+            J_tiles[b, k] = J_rows[b][:, j * B:(j + 1) * B]
+    return col_idx, J_tiles

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.energy import local_fields
-from ..core.problem import BlockedProblem, IsingProblem, block_problem
+from ..core.problem import (BlockedProblem, IsingProblem, block_problem,
+                            block_sparse_tiles)
 from .sweeps import SweepResult, anneal_schedule, run_sweeps
 
 
@@ -43,6 +44,9 @@ class SweepEngine:
         dtype=jnp.float32,
         precision: str = "highest",
         backend: str = "auto",   # 'auto' | 'xla' | 'pallas'
+        sparse_phi: bool = False,  # block-sparse phi update (experimental:
+                                   # measured SLOWER than dense on v5e —
+                                   # docs/BENCHMARKS.md "known headroom")
     ):
         self.problem = problem
         self.dtype = dtype
@@ -58,6 +62,15 @@ class SweepEngine:
         )
         # Colored layouts make the all-at-once block update exact Gibbs.
         self.within_block = "jacobi" if self.blocked.colored else within_block
+        # Block-sparse phi update (opt-in): cuts MACs ~n_pad/(K*B) on
+        # sparse topologies but the small [R,B]@[B,B] tile matmuls measured
+        # SLOWER than one dense [R,B]@[B,n_pad] on v5e (MXU utilization +
+        # slice overhead dominate) — kept for study; see docs/BENCHMARKS.md.
+        self.sparse_tiles = None
+        if sparse_phi:
+            col_idx, J_tiles = block_sparse_tiles(self.blocked)
+            self.sparse_tiles = (jnp.asarray(col_idx),
+                                 jnp.asarray(J_tiles))
         b = self.blocked
         self.J_rows = jnp.asarray(b.J_rows)
         self.J_diag = jnp.asarray(b.J_diag)
@@ -161,6 +174,8 @@ class SweepEngine:
             and self.block_order == "fixed"
             and not record_m
             and self.dtype == jnp.float32
+            # J must fit VMEM alongside the state tiles (~16 MB budget)
+            and self.n_pad <= 1536
             and jax.devices()[0].platform == "tpu"
             and self.backend != "xla"
         )
@@ -189,7 +204,7 @@ class SweepEngine:
 
         res = run_sweeps(
             self.J_rows, self.J_diag, self.h, m0, phi, key,
-            beta_sweep, bs, mask,
+            beta_sweep, bs, mask, self.sparse_tiles,
             num_sweeps=num_sweeps,
             within_block=self.within_block,
             block_order=self.block_order,

@@ -65,7 +65,8 @@ def heat_bath_update(x, beta_eff, u, m_old, mask):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "within_block", "block_order", "record_m", "precision"),
+    static_argnames=("num_sweeps", "within_block", "block_order", "record_m",
+                     "precision"),
 )
 def run_sweeps(
     J_rows,        # [nB, B, n_pad]
@@ -77,6 +78,8 @@ def run_sweeps(
     beta_sweep,    # [T] per-sweep inverse temperature (anneal ramps live here)
     beta_spin,     # broadcastable to [R, n_pad]; multiplies beta_sweep (heating)
     update_mask,   # broadcastable to [R, n_pad] bool; False = frozen / padding
+    sparse_tiles=None,  # optional (col_idx [nB,K], J_tiles [nB,K,B,B]):
+                        # block-sparse phi update (sparse topologies)
     *,
     num_sweeps: int,
     within_block: str = "sequential",
@@ -129,7 +132,18 @@ def run_sweeps(
             raise ValueError(f"unknown within_block={within_block!r}")
 
         dm = mb_new - mb  # [R, B]
-        phi = phi + jnp.matmul(dm, J_rows[bidx], precision=precision)
+        if sparse_tiles is not None:
+            col_idx, J_tiles = sparse_tiles
+            K = col_idx.shape[1]
+            # unrolled so XLA keeps the dynamic-update-slices in place
+            for k in range(K):
+                j = col_idx[bidx, k]
+                tgt = lax.dynamic_slice_in_dim(phi, j * B, B, axis=1)
+                tgt = tgt + jnp.matmul(dm, J_tiles[bidx, k],
+                                       precision=precision)
+                phi = lax.dynamic_update_slice_in_dim(phi, tgt, j * B, axis=1)
+        else:
+            phi = phi + jnp.matmul(dm, J_rows[bidx], precision=precision)
         m = lax.dynamic_update_slice_in_dim(m, mb_new, start, axis=1)
         return m, phi
 

@@ -183,3 +183,42 @@ class TestBlocking:
         assert sorted(flat.tolist()) == list(range(n))
         for g in groups:
             assert not np.any(J[np.ix_(g, g)])
+
+
+class TestSparsePhi:
+    def test_sparse_tiles_structure(self, rng):
+        from nmc_tpu.core.problem import IsingProblem, block_problem, \
+            block_sparse_tiles
+        from nmc_tpu.io.generators import ea_2d
+        from nmc_tpu.ops.coloring import color_groups
+        prob = ea_2d(8, seed=0)
+        b = block_problem(prob, block_size=8, groups=color_groups(prob.J))
+        col_idx, J_tiles = block_sparse_tiles(b)
+        nB, K = col_idx.shape
+        assert K < nB  # genuinely sparse
+        # reconstruct J from tiles and compare
+        B = b.block_size
+        J_rec = np.zeros((b.n_pad, b.n_pad), dtype=J_tiles.dtype)
+        for bb in range(nB):
+            for k in range(K):
+                j = col_idx[bb, k]
+                J_rec[bb * B:(bb + 1) * B, j * B:(j + 1) * B] += J_tiles[bb, k]
+        np.testing.assert_allclose(J_rec, b.J_rows.reshape(b.n_pad, b.n_pad))
+
+    def test_sparse_phi_trajectory_equals_dense(self, rng):
+        # same key => same uniforms => identical trajectories iff the
+        # sparse phi update is exact
+        from nmc_tpu.io.generators import ea_2d
+        prob = ea_2d(8, seed=1)
+        dense = SweepEngine(prob, block_size=8, use_coloring=True,
+                            sparse_phi=False)
+        sparse = SweepEngine(prob, block_size=8, use_coloring=True,
+                             sparse_phi=True)
+        assert sparse.sparse_tiles is not None and dense.sparse_tiles is None
+        m0 = np.asarray(dense.from_blocked(
+            dense.init_states(jax.random.PRNGKey(0), 4)))
+        a = dense.run(m0, jax.random.PRNGKey(1), num_sweeps=20, beta=1.0)
+        b = sparse.run(m0, jax.random.PRNGKey(1), num_sweeps=20, beta=1.0)
+        np.testing.assert_array_equal(np.asarray(a.m), np.asarray(b.m))
+        np.testing.assert_allclose(np.asarray(a.energies),
+                                   np.asarray(b.energies), atol=1e-4)
