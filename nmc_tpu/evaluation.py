@@ -20,7 +20,8 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from .core.problem import IsingProblem
-from .io.loaders import (load_chimera, load_wishart, read_gs_energies,
+from .io.loaders import (load_chimera, load_dcl, load_wishart,
+                         read_dcl_solution, read_gs_energies,
                          read_otn2d_groundstates)
 
 
@@ -81,6 +82,21 @@ def chimera_folder_instances(folder: str, limit: Optional[int] = None):
         path = os.path.join(folder, name)
         if os.path.exists(path):
             yield name, load_chimera(path), gs[name][0]
+
+
+def dcl_folder_instances(folder: str, limit: Optional[int] = None):
+    """(name, problem, gs_energy) for a DCL C8/C16 folder (NN.txt +
+    NN_sol.txt pairs, planted min_energy in the sol metadata)."""
+    names = sorted(f for f in os.listdir(folder)
+                   if f.endswith(".txt") and not f.endswith("_sol.txt"))
+    for name in names[:limit]:
+        sol = os.path.join(folder, name.replace(".txt", "_sol.txt"))
+        if not os.path.exists(sol):
+            continue
+        meta = read_dcl_solution(sol)
+        if "min_energy" not in meta:
+            continue
+        yield name, load_dcl(os.path.join(folder, name)), float(meta["min_energy"])
 
 
 def evaluate_solver(

@@ -119,3 +119,19 @@ def read_otn2d_groundstates(path: str) -> Dict[str, Tuple[float, np.ndarray]]:
             spins = np.array([int(s) for s in rest], dtype=np.int8)
             out[name] = (e, (2 * spins - 1).astype(np.int8))
     return out
+
+
+def read_dcl_solution(path: str) -> Dict[str, float]:
+    """`NN_sol.txt` metadata for DCL instances (Chook DCL generator):
+    whitespace-separated key/value lines; `min_energy` is the planted
+    ground-state energy (raw units of the NN.txt edge list)."""
+    out: Dict[str, float] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:
+                try:
+                    out[parts[0]] = float(parts[1])
+                except ValueError:
+                    out[parts[0]] = parts[1]
+    return out

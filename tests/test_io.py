@@ -137,3 +137,18 @@ def test_chimera_graph_generator():
     deg = (prob.J != 0).sum(axis=1)
     assert deg.min() >= 4 and deg.max() <= 6
     assert num_colors(prob.J) <= 4
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data absent")
+def test_dcl_solution_reader_and_instance():
+    from nmc_tpu.io.loaders import read_dcl_solution
+    folder = os.path.join(REF, "NMC/examples/DCL_instances/C8")
+    meta = read_dcl_solution(os.path.join(folder, "01_sol.txt"))
+    assert meta["min_energy"] == -368.57143
+    from nmc_tpu.io.loaders import load_dcl
+    prob = load_dcl(os.path.join(folder, "01.txt"))
+    assert prob.n >= 455  # nq from metadata (some qubits may be isolated)
+    # planted energy must beat random states
+    rng = np.random.default_rng(0)
+    rand_e = prob.energy(np.sign(rng.normal(size=(100, prob.n))))
+    assert meta["min_energy"] < rand_e.min()
