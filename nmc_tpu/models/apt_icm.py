@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.problem import IsingProblem
-from ..ops.clusters import disagreement_clusters_adj
+from ..ops.clusters import (disagreement_clusters_adj,
+                            houdayer_move_device)
 from ..ops.engine import SweepEngine
 from .npt import select_non_overlapping_pairs
 
@@ -51,6 +52,10 @@ class APTICMConfig:
     use_hash_table: bool = False   # parity no-op (docs/DEVIATIONS.md)
     faithful_quirks: bool = True   # see module docstring
     normalize: bool = False        # reference expects pre-normalized J, h
+    device_icm: bool = False       # Houdayer move fully on device (one
+                                   # vmapped call for all pairs; exact when
+                                   # icm_label_iters >= component diameter)
+    icm_label_iters: int = 64
     # TPU execution knobs
     block_size: int = 128
     use_coloring: bool = False
@@ -68,6 +73,18 @@ class APTICMResult(NamedTuple):
     icm_moves: int              # Houdayer exchanges performed
     icm_flips: int              # Katzgraber full flips performed
     beta_list: np.ndarray
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "use_katzgraber"))
+def _houdayer_batch(J, s1b, s2b, keys, *, num_iters, use_katzgraber):
+    return jax.vmap(
+        lambda a, b, k: houdayer_move_device(
+            J, a, b, k, num_iters=num_iters,
+            use_katzgraber=use_katzgraber)
+    )(s1b, s2b, keys)
 
 
 def apt_icm_run(
@@ -138,29 +155,53 @@ def apt_icm_run(
             src = np.asarray((res_b if per_swap > 1 else res_a).m_best)
             best_state = src[ridx].copy()
 
-        # --- Houdayer move per replica (host; irregular graph work) -------
+        # --- Houdayer move per replica -----------------------------------
         icm_states = first_states if cfg.faithful_quirks else final_states
         touched = []
-        for r in range(R):
-            shuffled = host_rng.permutation(S)
-            for p in range(S // 2):
-                j, k_sub = int(shuffled[2 * p]), int(shuffled[2 * p + 1])
-                s1 = icm_states[r, j].copy()
-                s2 = icm_states[r, k_sub].copy()
-                clusters = disagreement_clusters_adj(adjacency, s1, s2)
-                if not clusters:
-                    continue
-                cl = clusters[int(host_rng.integers(len(clusters)))]
-                if cfg.use_katzgraber and cl.size > n // 2:
-                    s1 = -s1
-                    icm_flips += 1
-                else:
-                    s1[cl], s2[cl] = s2[cl].copy(), s1[cl].copy()
-                    icm_moves += 1
-                icm_states[r, j] = s1
-                icm_states[r, k_sub] = s2
-                touched.append((r, j))
-                touched.append((r, k_sub))
+        pairings = [host_rng.permutation(S) for _ in range(R)]
+        if cfg.device_icm:
+            # one jitted vmapped call covering every (replica, pair)
+            key, k_icm = jax.random.split(key)
+            ridx, jidx, kidx = [], [], []
+            for r in range(R):
+                for p in range(S // 2):
+                    ridx.append(r)
+                    jidx.append(int(pairings[r][2 * p]))
+                    kidx.append(int(pairings[r][2 * p + 1]))
+            P = len(ridx)
+            s1b = jnp.asarray(icm_states[ridx, jidx], jnp.float32)
+            s2b = jnp.asarray(icm_states[ridx, kidx], jnp.float32)
+            keys = jax.random.split(k_icm, P)
+            s1n, s2n, moved, flipped = _houdayer_batch(
+                jnp.asarray(norm_prob.J, jnp.float32), s1b, s2b, keys,
+                num_iters=cfg.icm_label_iters,
+                use_katzgraber=cfg.use_katzgraber)
+            icm_states[ridx, jidx] = np.asarray(s1n, np.float64)
+            icm_states[ridx, kidx] = np.asarray(s2n, np.float64)
+            icm_moves += int(np.asarray(moved).sum())
+            icm_flips += int(np.asarray(flipped).sum())
+            touched = list(zip(ridx, jidx)) + list(zip(ridx, kidx))
+        else:
+            for r in range(R):
+                shuffled = pairings[r]
+                for p in range(S // 2):
+                    j, k_sub = int(shuffled[2 * p]), int(shuffled[2 * p + 1])
+                    s1 = icm_states[r, j].copy()
+                    s2 = icm_states[r, k_sub].copy()
+                    clusters = disagreement_clusters_adj(adjacency, s1, s2)
+                    if not clusters:
+                        continue
+                    cl = clusters[int(host_rng.integers(len(clusters)))]
+                    if cfg.use_katzgraber and cl.size > n // 2:
+                        s1 = -s1
+                        icm_flips += 1
+                    else:
+                        s1[cl], s2[cl] = s2[cl].copy(), s1[cl].copy()
+                        icm_moves += 1
+                    icm_states[r, j] = s1
+                    icm_states[r, k_sub] = s2
+                    touched.append((r, j))
+                    touched.append((r, k_sub))
 
         if touched:
             idx = np.array(touched)

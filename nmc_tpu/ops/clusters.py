@@ -21,7 +21,7 @@ Semantics match:
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 from scipy.sparse import csr_matrix
@@ -158,3 +158,39 @@ def disagreement_labels_device(
         return jnp.where(diff, jnp.minimum(labels, nbr_min), big)
 
     return jax.lax.fori_loop(0, num_iters, body, labels0)
+
+
+def houdayer_move_device(J, s1, s2, key, *, num_iters: int = 64,
+                         use_katzgraber: bool = True,
+                         katzgraber_threshold: Optional[int] = None):
+    """One Houdayer move fully on device (jittable, vmappable over pairs).
+
+    Finds disagreement components with min-label propagation, picks one
+    cluster UNIFORMLY (the labels are component-min spin indices, so a
+    random priority per index + argmin over component roots is uniform,
+    matching the reference's random.choice over the cluster list,
+    /root/reference/NPT/apt_ICM.py:233), exchanges it between partners —
+    or flips all of s1 when the cluster exceeds N//2 spins (Katzgraber,
+    apt_ICM.py:236-240). Exact when num_iters >= component diameter.
+
+    Returns (s1', s2', moved: bool, flipped: bool).
+    """
+    n = s1.shape[0]
+    labels = disagreement_labels_device(J, s1, s2, num_iters=num_iters)
+    any_diff = jnp.any(labels < n)
+    is_root = labels == jnp.arange(n)          # component representatives
+    g = jax.random.uniform(key, (n,))
+    scores = jnp.where(is_root & (labels < n), g, jnp.inf)
+    chosen = jnp.argmin(scores)                 # uniform over clusters
+    in_cluster = labels == chosen
+    size = jnp.sum(in_cluster)
+    thresh = n // 2 if katzgraber_threshold is None else katzgraber_threshold
+    big = use_katzgraber & (size > thresh)
+
+    s1_swap = jnp.where(in_cluster, s2, s1)
+    s2_swap = jnp.where(in_cluster, s1, s2)
+    s1_new = jnp.where(any_diff, jnp.where(big, -s1, s1_swap), s1)
+    s2_new = jnp.where(any_diff, jnp.where(big, s2, s2_swap), s2)
+    moved = any_diff & ~big
+    flipped = any_diff & big
+    return s1_new, s2_new, moved, flipped

@@ -158,3 +158,38 @@ def test_batched_convexified_matches_per_chain(rng):
             lambda_start=1.5, lambda_end=0.01, lambda_reduction_factor=0.7,
             tolerance=1e-9, max_iterations=200)
         np.testing.assert_allclose(batch[r], single.marginal, atol=1e-12)
+
+
+def test_houdayer_move_device_semantics(rng):
+    from nmc_tpu.ops.clusters import (disagreement_clusters,
+                                      houdayer_move_device)
+    import jax
+    J, _ = tree_instance(rng)
+    n = J.shape[0]
+    for seed in range(6):
+        s1 = np.sign(rng.normal(size=n))
+        s2 = np.sign(rng.normal(size=n))
+        clusters_before = disagreement_clusters(J, s1, s2)
+        a, b, moved, flipped = houdayer_move_device(
+            jnp.asarray(J), jnp.asarray(s1), jnp.asarray(s2),
+            jax.random.PRNGKey(seed))
+        a, b = np.asarray(a), np.asarray(b)
+        if not clusters_before:
+            assert not bool(moved) and not bool(flipped)
+            np.testing.assert_array_equal(a, s1)
+            continue
+        if bool(flipped):
+            np.testing.assert_array_equal(a, -s1)
+            np.testing.assert_array_equal(b, s2)
+            continue
+        assert bool(moved)
+        # the exchanged set must be exactly one disagreement component
+        exchanged = np.flatnonzero(a != s1)
+        assert exchanged.size > 0
+        match = [c for c in clusters_before
+                 if sorted(c.tolist()) == sorted(exchanged.tolist())]
+        assert len(match) == 1
+        np.testing.assert_array_equal(a[exchanged], s2[exchanged])
+        np.testing.assert_array_equal(b[exchanged], s1[exchanged])
+        keep = np.setdiff1d(np.arange(n), exchanged)
+        np.testing.assert_array_equal(a[keep], s1[keep])

@@ -159,3 +159,17 @@ class TestAPTICM:
                            faithful_quirks=False, block_size=16)
         res = apt_icm_run(prob, [0.5, 1.5], cfg, jax.random.PRNGKey(0))
         assert np.isfinite(res.Energy).all()
+
+
+class TestDeviceICM:
+    def test_device_icm_runs_and_moves(self):
+        from nmc_tpu.io.generators import ea_2d
+        prob = ea_2d(4, seed=3).normalized()[0]
+        cfg = APTICMConfig(num_sweeps_MCMC=24, num_sweeps_read=12,
+                           num_swap_attempts=3, num_subreplicas=4,
+                           device_icm=True, icm_label_iters=32,
+                           block_size=16)
+        res = apt_icm_run(prob, [0.4, 1.0, 2.0], cfg, jax.random.PRNGKey(0))
+        assert np.isfinite(res.Energy).all()
+        assert set(np.unique(res.final_states)) <= {-1.0, 1.0}
+        assert res.icm_moves + res.icm_flips > 0
