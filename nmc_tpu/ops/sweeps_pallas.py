@@ -178,3 +178,160 @@ def pallas_colored_sweeps(
     )
     return PallasSweepResult(m=m, phi=phi, m_best=m_best,
                              e_best=e_best[:, 0], energies=energies)
+
+
+def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
+                     seed_ref, beta_sweep_ref,                  # SMEM
+                     J_hbm_ref, h_ref, beta_row_ref, active_ref,
+                     m_in_ref, phi_in_ref,                       # aliased io
+                     m_ref, phi_ref, mbest_ref, ebest_ref, e_ref,  # outputs
+                     jbuf, sems):                                # scratch
+    g = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + g)
+
+    # m_in/phi_in are ALIASED to m/phi (input_output_aliases): the state
+    # buffers arrive initialized, no copy and no duplicate VMEM blocks
+    mbest_ref[:] = m_ref[:]
+    ebest_ref[:] = jnp.full((r_tile, 1), jnp.inf, jnp.float32)
+
+    B = block_size
+    total = num_sweeps * num_blocks
+
+    def dma(slot, b):
+        return pltpu.make_async_copy(J_hbm_ref.at[b], jbuf.at[slot],
+                                     sems.at[slot])
+
+    dma(0, 0).start()
+
+    def step(i, _):
+        t = i // num_blocks
+        b = i % num_blocks
+        slot = i % 2
+        nslot = (i + 1) % 2
+
+        @pl.when(i + 1 < total)
+        def _():
+            dma(nslot, (i + 1) % num_blocks).start()
+
+        dma(slot, b).wait()
+
+        s = pl.multiple_of(b * B, B)  # noqa: shadows module alias locally
+        beta_t = beta_sweep_ref[t]
+        bits = pltpu.prng_random_bits((r_tile, B))
+        bits24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8,
+                               jnp.int32)
+        u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+        xb = phi_ref[:, pl.ds(s, B)]
+        mb = m_ref[:, pl.ds(s, B)]
+        betab = beta_t * beta_row_ref[:]                 # [R_t, 1]
+        actb = active_ref[:, pl.ds(s, B)]                # [1, B]
+        p_up = 0.5 * (1.0 + jnp.tanh(betab * xb))
+        new = jnp.where(u < p_up, 1.0, -1.0).astype(jnp.float32)
+        new = jnp.where(actb > 0, new, mb)
+        dm = new - mb
+        # dm values are exactly representable in the J buffer dtype
+        phi_ref[:] = phi_ref[:] + jnp.dot(
+            dm.astype(jbuf.dtype), jbuf[slot],
+            preferred_element_type=jnp.float32)
+        m_ref[:, pl.ds(s, B)] = new
+
+        @pl.when(b == num_blocks - 1)
+        def _():
+            e = -0.5 * jnp.sum(m_ref[:] * (phi_ref[:] + h_ref[:]),
+                               axis=1, keepdims=True)
+            e_ref[pl.ds(t, 1), :] = e.T
+            better = e < ebest_ref[:]
+            ebest_ref[:] = jnp.where(better, e, ebest_ref[:])
+            mbest_ref[:] = jnp.where(better, m_ref[:], mbest_ref[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, total, step, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sweeps", "block_size", "r_tile"),
+)
+def pallas_colored_sweeps_streamed(
+    J_blocks,     # [nB, B, n_pad] float32, stays in HBM (streamed per block)
+    h,            # [n_pad]
+    m0,           # [R, n_pad]
+    phi0,         # [R, n_pad]
+    seed,
+    beta_sweep,   # [T] or scalar
+    beta_row,     # [R] per-replica beta multiplier
+    active,       # [n_pad] bool
+    *,
+    num_sweeps: int,
+    block_size: int = 128,
+    r_tile: int = 128,
+) -> PallasSweepResult:
+    """Colored multi-sweep kernel for J too large for VMEM: states stay
+    VMEM-resident for all sweeps, J row-blocks double-buffer from HBM
+    (2 x [B, n_pad] buffers), per-replica beta + global active mask.
+    Covers the plain-PT production case at n ~ 10^4; phase masks (NMC)
+    use the XLA path. Pass J_blocks as bfloat16 to halve DMA traffic and
+    double MXU throughput (phi accumulates in float32 regardless)."""
+    nB, B, n_pad = J_blocks.shape
+    j_dtype = J_blocks.dtype
+    R = m0.shape[0]
+    if R % r_tile:
+        r_tile = R
+    grid = (R // r_tile,)
+
+    kern = functools.partial(_streamed_kernel, num_sweeps, nB, B, r_tile,
+                             n_pad)
+    vm = pltpu.VMEM
+    rspec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
+                         memory_space=vm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),                   # J HBM
+            pl.BlockSpec((n_pad,), lambda g, *_: (0,),
+                         memory_space=vm),                          # h
+            pl.BlockSpec((r_tile, 1), lambda g, *_: (g, 0),
+                         memory_space=vm),                          # beta_row
+            pl.BlockSpec((1, n_pad), lambda g, *_: (0, 0),
+                         memory_space=vm),                          # active
+            rspec, rspec,                                           # m0, phi0
+        ],
+        out_specs=(
+            rspec, rspec, rspec,
+            pl.BlockSpec((r_tile, 1), lambda g, *_: (g, 0),
+                         memory_space=vm),
+            pl.BlockSpec((num_sweeps, r_tile), lambda g, *_: (0, g),
+                         memory_space=vm),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, n_pad), j_dtype),       # J double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((num_sweeps, R), jnp.float32),
+    )
+    m, phi, m_best, e_best, energies = pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes,
+        # operand indices count the scalar-prefetch args too:
+        # 0:seed 1:beta_sweep 2:J 3:h 4:beta_row 5:active 6:m0 7:phi0
+        input_output_aliases={6: 0, 7: 1},
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.broadcast_to(jnp.asarray(beta_sweep, jnp.float32), (num_sweeps,)),
+        jnp.asarray(J_blocks),
+        jnp.asarray(h, jnp.float32),
+        jnp.asarray(beta_row, jnp.float32).reshape(R, 1),
+        jnp.asarray(active, jnp.float32).reshape(1, n_pad),
+        jnp.asarray(m0, jnp.float32),
+        jnp.asarray(phi0, jnp.float32),
+    )
+    return PallasSweepResult(m=m, phi=phi, m_best=m_best,
+                             e_best=e_best[:, 0], energies=energies)

@@ -109,3 +109,21 @@ def test_engine_pallas_backend_gating():
     eng2 = SweepEngine(prob, block_size=8, use_coloring=True)
     res = eng2.run(m0, jax.random.PRNGKey(1), num_sweeps=2, beta=1.0)
     assert np.isfinite(np.asarray(res.e_best)).all()
+
+
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="streaming kernel is TPU-only (DMA + PRNG)")
+def test_streamed_kernel_invariants_tpu(rng):
+    from nmc_tpu.ops.sweeps_pallas import pallas_colored_sweeps_streamed
+    prob = ea_2d(16, seed=0)
+    b, J, h, m0, phi0, _ = _setup(prob, R=8, block_size=128)
+    Jb = jnp.asarray(b.J_rows)
+    res = pallas_colored_sweeps_streamed(
+        Jb, h, m0, phi0, 42, np.full(10, 1.0, np.float32),
+        np.ones(8, np.float32), b.active, num_sweeps=10, block_size=128,
+        r_tile=8)
+    m = np.asarray(res.m)
+    assert set(np.unique(m)) <= {-1.0, 1.0}
+    Jf = np.asarray(b.J_rows.reshape(b.n_pad, b.n_pad))
+    np.testing.assert_allclose(np.asarray(res.phi),
+                               m @ Jf + np.asarray(h), atol=1e-3)
