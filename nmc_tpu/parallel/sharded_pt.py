@@ -128,6 +128,7 @@ class ShardedNPT:
                                           cfg.lambda_reduction_factor))
 
         self._round_jit = jax.jit(self._build_round())
+        self._scan_jit = {}
 
     def _dense_J_np(self):
         b = self.blocked
@@ -293,6 +294,22 @@ class ShardedNPT:
         for _ in range(num_rounds):
             state, metrics = self.round(state)
         return state, metrics
+
+    def run_scanned(self, state: ShardedPTState, num_rounds: int):
+        """num_rounds swap rounds fused into ONE dispatch (lax.scan over
+        the round body) — the production driver on high-dispatch-latency
+        links; returns (state, stacked RoundMetrics [num_rounds, ...])."""
+        if num_rounds not in self._scan_jit:
+            round_fn = self._build_round()
+
+            def scanned(state0):
+                def body(s, _):
+                    s2, m = round_fn(s)
+                    return s2, m
+                return jax.lax.scan(body, state0, None, length=num_rounds)
+
+            self._scan_jit[num_rounds] = jax.jit(scanned)
+        return self._scan_jit[num_rounds](state)
 
     def states_by_temperature(self, state: ShardedPTState) -> np.ndarray:
         """Gather states ordered by temperature index [R, n] (host)."""

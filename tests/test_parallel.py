@@ -135,3 +135,21 @@ class TestSpinSharded:
         sw = SpinShardedSweeper(dense, SpinShardedConfig(block_size=8))
         assert sw.blocked.colored
         assert sw.n_pad == 16 * 8  # one padded block per spin
+
+
+def test_sharded_npt_run_scanned_matches_structure():
+    prob = random_sk(16, seed=5).normalized()[0]
+    beta_list = np.linspace(0.4, 2.5, 8)
+    cfg = ShardedNPTConfig(sweeps_per_phase=4, num_cycles=1,
+                           num_swapping_pairs=2, global_beta=2.0,
+                           block_size=16)
+    pt = ShardedNPT(prob, beta_list, [False] * 8, cfg)
+    state = pt.init_state(jax.random.PRNGKey(0))
+    state, metrics = pt.run_scanned(state, 5)
+    # stacked metrics over rounds
+    assert np.asarray(metrics.slot_energies).shape == (5, 8)
+    assert np.asarray(metrics.accepted).shape == (5, 2)
+    s2b = np.asarray(state.slot_to_beta)
+    b2s = np.asarray(state.beta_to_slot)
+    np.testing.assert_array_equal(s2b[b2s], np.arange(8))
+    assert int(state.round_index) == 5
