@@ -61,6 +61,9 @@ class NMCConfig:
     tolerance: float = float(np.finfo(np.float64).eps)
     use_hash_table: bool = False          # parity no-op (docs/DEVIATIONS.md)
     clusters_once: bool = False           # False = nmc.py variant, True = npt.py variant
+    sparse_lbp_threshold: int = 2048      # above this N, LBP runs on edge
+                                          # messages (ops/lbp_sparse) instead
+                                          # of dense [N,N] message matrices
     normalize: bool = True
     record_m: bool = True
     # TPU execution knobs
@@ -84,17 +87,32 @@ class NMCResult(NamedTuple):
 
 
 def _extract_clusters(problem: IsingProblem, m_star: np.ndarray,
-                      cfg: NMCConfig) -> np.ndarray:
-    """Convexified LBP -> backbone clusters -> flat index array (host)."""
+                      cfg: NMCConfig, graph=None) -> np.ndarray:
+    """Convexified LBP -> backbone clusters -> flat index array (host).
+
+    Large instances (N > cfg.sparse_lbp_threshold) use edge-message LBP
+    (O(nnz) per iteration) instead of dense [N, N] message matrices."""
     eps = convexification_epsilon(problem.J, problem.h)
-    out = lbp_convexified(
-        jnp.asarray(problem.J), jnp.asarray(problem.h), cfg.global_beta,
-        m_star, eps,
-        lambda_start=cfg.lambda_start, lambda_end=cfg.lambda_end,
-        lambda_reduction_factor=cfg.lambda_reduction_factor,
-        tolerance=cfg.tolerance, max_iterations=cfg.max_iterations,
-    )
-    clusters = find_clusters(problem.J, out.marginal, cfg.threshold_initial,
+    if problem.n > cfg.sparse_lbp_threshold:
+        from ..ops.lbp_sparse import EdgeGraph, sparse_lbp_convexified
+        if graph is None:
+            graph = EdgeGraph.from_dense(problem.J)
+        marginal = sparse_lbp_convexified(
+            graph, problem.h, cfg.global_beta, m_star, eps,
+            lambda_start=cfg.lambda_start, lambda_end=cfg.lambda_end,
+            lambda_reduction_factor=cfg.lambda_reduction_factor,
+            tolerance=cfg.tolerance, max_iterations=cfg.max_iterations,
+        )
+    else:
+        out = lbp_convexified(
+            jnp.asarray(problem.J), jnp.asarray(problem.h), cfg.global_beta,
+            m_star, eps,
+            lambda_start=cfg.lambda_start, lambda_end=cfg.lambda_end,
+            lambda_reduction_factor=cfg.lambda_reduction_factor,
+            tolerance=cfg.tolerance, max_iterations=cfg.max_iterations,
+        )
+        marginal = out.marginal
+    clusters = find_clusters(problem.J, marginal, cfg.threshold_initial,
                              cfg.threshold_cutoff, cfg.threshold_step)
     return flatten_clusters(clusters)
 
@@ -199,8 +217,12 @@ def _per_chain_clusters(problem, m_star, cfg) -> list:
     rung); the irregular threshold/growth pass stays host-side per chain.
     """
     R = m_star.shape[0]
-    if R == 1:
-        return [_extract_clusters(problem, m_star[0], cfg)]
+    if R == 1 or problem.n > cfg.sparse_lbp_threshold:
+        from ..ops.lbp_sparse import EdgeGraph
+        graph = (EdgeGraph.from_dense(problem.J)
+                 if problem.n > cfg.sparse_lbp_threshold else None)
+        return [_extract_clusters(problem, m_star[r], cfg, graph=graph)
+                for r in range(R)]
     eps = convexification_epsilon(problem.J, problem.h)
     marginals = lbp_convexified_batch(
         jnp.asarray(problem.J), jnp.asarray(problem.h), cfg.global_beta,
