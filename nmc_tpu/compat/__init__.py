@@ -17,8 +17,6 @@ MCMC methods honor it via the faithful host kernel.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,6 @@ time-to-target — the quality metrics the rebuild is judged on.
 from __future__ import annotations
 
 import dataclasses
-import glob
 import json
 import os
 import time

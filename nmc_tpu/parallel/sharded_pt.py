@@ -28,7 +28,6 @@ Faithfulness notes (vs models/npt.py, the exact single-host path):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional, Sequence
 
 import jax

@@ -20,7 +20,6 @@ Energies are per-device partial sums + one psum of R scalars.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional
 
 import jax
