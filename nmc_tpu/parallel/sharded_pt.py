@@ -56,6 +56,8 @@ class ShardedNPTConfig:
     lambda_reduction_factor: float = 0.5   # short ladder: jit-friendly default
     lbp_max_iterations: int = 30
     lbp_tolerance: float = 1e-7
+    lbp_mode: str = "auto"   # 'dense' | 'sparse' | 'auto' (sparse above 1024
+                             # spins: dense [N,N] messages blow memory)
     block_size: int = 128
     within_block: str = "sequential"
     precision: str = "highest"
@@ -125,6 +127,14 @@ class ShardedNPT:
         self.epsilon = jnp.asarray(eps, dtype)
         self.ladder = tuple(lambda_ladder(cfg.lambda_start, cfg.lambda_end,
                                           cfg.lambda_reduction_factor))
+        self.lbp_sparse = (cfg.lbp_mode == "sparse"
+                           or (cfg.lbp_mode == "auto" and self.n_pad > 1024))
+        if self.any_nmc and self.lbp_sparse:
+            from ..ops.lbp_sparse import EdgeGraph
+            g = EdgeGraph.from_dense(self._dense_J_np())
+            self.edge_graph = g
+        else:
+            self.edge_graph = None
 
         self._round_jit = jax.jit(self._build_round())
         self._scan_jit = {}
@@ -194,6 +204,51 @@ class ShardedNPT:
             have_prev = have_prev | conv
         return marginal
 
+    def _lbp_marginal_sparse(self, m_star):
+        """Edge-message convexified LBP for ONE slot (O(nnz) per iter,
+        in-jit): the large-N path — dense [N, N] messages per slot would
+        blow memory under vmap over R_local."""
+        from ..ops.lbp import atanh_saturated
+
+        cfg = self.cfg
+        g = self.edge_graph
+        h = self.h
+        beta = jnp.asarray(cfg.global_beta, h.dtype)
+        tanh_bw = jnp.tanh(beta * g.weight.astype(h.dtype))
+        E = g.num_edges
+
+        def lbp(h_lambda, u0):
+            def step(state):
+                u, it, _ = state
+                S = h_lambda + jax.ops.segment_sum(
+                    u, g.dst, num_segments=self.n_pad)
+                h_msg = S[g.src] - u[g.rev]
+                u_new = atanh_saturated(
+                    tanh_bw * jnp.tanh(beta * h_msg)) / beta
+                ch = jnp.max(jnp.abs(u_new - u)) / (
+                    jnp.max(jnp.abs(u_new) + jnp.abs(u)) + 1e-30)
+                return u_new, it + 1, ch < cfg.lbp_tolerance
+
+            def cond(state):
+                _, it, conv = state
+                return (it < cfg.lbp_max_iterations) & (~conv)
+
+            u, _, conv = lax.while_loop(
+                cond, step, (u0, jnp.int32(0), jnp.bool_(False)))
+            S = h_lambda + jax.ops.segment_sum(
+                u, g.dst, num_segments=self.n_pad)
+            return jnp.tanh(beta * S), u, conv
+
+        u = g.weight.astype(h.dtype) * m_star[g.src]
+        marginal = jnp.zeros(self.n_pad, h.dtype)
+        have_prev = jnp.bool_(False)
+        for lam in self.ladder:
+            h_lambda = h + lam * m_star * self.epsilon
+            mag, u, conv = lbp(h_lambda, u)
+            marginal = jnp.where(conv | ~have_prev, mag, marginal)
+            have_prev = have_prev | conv
+        return marginal
+
     # ------------------------------------------------------------------
     def _build_round(self):
         cfg = self.cfg
@@ -228,7 +283,9 @@ class ShardedNPT:
             act = jnp.broadcast_to(self.active, (R_local, n_pad))
 
             if self.any_nmc:
-                marg = jax.vmap(self._lbp_marginal)(m_local)
+                lbp_fn = (self._lbp_marginal_sparse if self.lbp_sparse
+                          else self._lbp_marginal)
+                marg = jax.vmap(lbp_fn)(m_local)
                 cl = (jnp.abs(marg) >= cfg.threshold_initial) & act
             else:
                 cl = act

@@ -153,3 +153,19 @@ def test_sharded_npt_run_scanned_matches_structure():
     b2s = np.asarray(state.beta_to_slot)
     np.testing.assert_array_equal(s2b[b2s], np.arange(8))
     assert int(state.round_index) == 5
+
+
+def test_sharded_npt_sparse_lbp_mode():
+    from nmc_tpu.io.generators import ea_2d
+    prob = ea_2d(8, seed=0)
+    R = 16
+    cfg = ShardedNPTConfig(sweeps_per_phase=6, num_cycles=1,
+                           num_swapping_pairs=3, global_beta=2.0,
+                           block_size=8, lbp_max_iterations=8,
+                           lbp_mode="sparse", lambda_reduction_factor=0.3)
+    pt = ShardedNPT(prob, np.linspace(0.3, 3, R), [False] * 12 + [True] * 4,
+                    cfg)
+    assert pt.lbp_sparse and pt.edge_graph is not None
+    state = pt.init_state(jax.random.PRNGKey(0))
+    state, metrics = pt.run(state, 2)
+    assert np.isfinite(np.asarray(metrics.slot_energies)).all()
