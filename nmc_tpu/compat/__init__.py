@@ -311,6 +311,7 @@ class APT_ICM(_Base):
             num_swap_attempts=num_swap_attempts,
             num_swapping_pairs=num_swapping_pairs,
             use_hash_table=bool(use_hash_table), normalize=False,
+            record_last_round_m=True,
             block_size=min(128, max(8, problem.n)),
         )
         res = apt_icm_run(problem, np.asarray(beta_list)[:num_replicas],
@@ -318,15 +319,15 @@ class APT_ICM(_Base):
         n = problem.n
         per_swap = num_sweeps_MCMC // num_swap_attempts
         S = cfg.num_subreplicas
-        # reference M layout: [N*R, per_swap*S], sub-replica blocks of the
-        # final round side by side; we hold each chain's final state across
-        # its block (full per-sweep history is not retained on device)
+        # reference M layout: [N*R, per_swap*S] — the last round's
+        # per-sweep history, sub-replica blocks side by side, first column
+        # carrying the Houdayer-modified states (quirk preserved)
         M = np.zeros((n * num_replicas, per_swap * S))
         for r in range(num_replicas):
             for s in range(S):
                 M[r * n:(r + 1) * n,
                   s * per_swap:(s + 1) * per_swap] = \
-                    res.final_states[r, s][:, None]
+                    res.M_history[r, s].T
         plotting.plot_energies(list(res.energy_trace), res.beta_list,
                                "APT_ICM_energy..png")
         return M, res.Energy

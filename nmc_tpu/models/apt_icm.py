@@ -56,6 +56,8 @@ class APTICMConfig:
                                    # vmapped call for all pairs; exact when
                                    # icm_label_iters >= component diameter)
     icm_label_iters: int = 64
+    record_last_round_m: bool = False  # keep the last round's per-sweep
+                                       # history (reference M layout)
     # TPU execution knobs
     block_size: int = 128
     use_coloring: bool = False
@@ -67,6 +69,9 @@ class APTICMResult(NamedTuple):
     Energy: np.ndarray          # [R] reference-semantics replica energies
     energy_trace: np.ndarray    # [R, read_per_swap] sub-replica-0 last round
     final_states: np.ndarray    # [R, S, n]
+    M_history: Optional[np.ndarray]  # [R, S, per_swap, n] last round
+                                     # (first column Houdayer-modified,
+                                     # reference record semantics)
     min_energy: float
     best_state: np.ndarray      # [n]
     swap_counts: np.ndarray     # [num_swap_attempts]
@@ -126,9 +131,13 @@ def apt_icm_run(
     best_e, best_state = np.inf, m_start[0, 0].copy()
     energies_round = np.zeros((R, S, per_swap))
 
+    M_history = None
+
     for round_i in range(cfg.num_swap_attempts):
         key, k_a, k_b = jax.random.split(key, 3)
         flat = m_start.reshape(R * S, n)
+        record = (cfg.record_last_round_m
+                  and round_i == cfg.num_swap_attempts - 1)
 
         # --- sweeps: 1 sweep (captures the 'first column' state), then rest
         res_a = engine.run(flat, k_a, num_sweeps=1, beta=1.0,
@@ -138,14 +147,23 @@ def apt_icm_run(
         if per_swap > 1:
             res_b = engine.run(np.asarray(res_a.m), k_b,
                                num_sweeps=per_swap - 1, beta=1.0,
-                               beta_spin=np.broadcast_to(beta_chain, (R * S, n)))
+                               beta_spin=np.broadcast_to(beta_chain, (R * S, n)),
+                               record_m=record)
             final_states = np.asarray(res_b.m, dtype=np.float64).reshape(R, S, n)
             e_rest = np.asarray(res_b.energies).T.reshape(R, S, per_swap - 1)
             eb = np.asarray(res_b.e_best)
+            if record:
+                # [T-1, R*S, n] -> [R, S, T-1, n]
+                hist_b = np.asarray(res_b.M).transpose(1, 0, 2).reshape(
+                    R, S, per_swap - 1, n)
+                M_history = np.concatenate(
+                    [first_states[:, :, None, :], hist_b], axis=2)
         else:
             final_states = first_states.copy()
             e_rest = np.zeros((R, S, 0))
             eb = np.asarray(res_a.e_best)
+            if record:
+                M_history = first_states[:, :, None, :].copy()
         energies_round[:, :, 0] = e_first
         energies_round[:, :, 1:] = e_rest
 
@@ -208,6 +226,11 @@ def apt_icm_run(
             new_e = np.asarray(norm_prob.energy(icm_states[idx[:, 0], idx[:, 1]]))
             col = 0 if cfg.faithful_quirks else per_swap - 1
             energies_round[idx[:, 0], idx[:, 1], col] = new_e
+            if M_history is not None:
+                # the record's column gets the Houdayer-modified states
+                # (reference writes the move into M only, apt_ICM.py:243-246)
+                M_history[idx[:, 0], idx[:, 1], col] = \
+                    icm_states[idx[:, 0], idx[:, 1]]
             if cfg.faithful_quirks and per_swap == 1:
                 # first column IS the last column: the record feeds the swaps
                 final_states = icm_states
@@ -236,6 +259,7 @@ def apt_icm_run(
     best_e = float(norm_prob.energy(best_state))
     return APTICMResult(
         Energy=Energy, energy_trace=trace, final_states=m_start,
+        M_history=M_history,
         min_energy=best_e, best_state=best_state, swap_counts=swap_counts,
         icm_moves=icm_moves, icm_flips=icm_flips, beta_list=beta_list,
     )
