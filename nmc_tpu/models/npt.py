@@ -217,6 +217,8 @@ def npt_run(
                 M_last[mcmc_idx] = np.transpose(np.asarray(res.M), (1, 2, 0))
 
         if nmc_idx.size:
+            if record:
+                nmc_cfg = dataclasses.replace(nmc_cfg, record_m=True)
             sub = nmc_subroutine(engine, norm_prob, m_start[nmc_idx],
                                  k_nmc, nmc_cfg)
             m_start[nmc_idx] = sub.m_final
@@ -233,8 +235,15 @@ def npt_run(
                 best_e = float(sub.min_energy.min())
                 best_state = sub.m_best[r].copy()
             if record:
-                # final state held across the window (NMC M history not kept)
-                M_last[nmc_idx] = m_start[nmc_idx][:, :, None]
+                # last per_swap recorded sweeps, like the reference's
+                # M_replica[:, -per_swap:] slice (npt.py:643)
+                hist = sub.M_overall  # [T_rec, R_nmc, n]
+                tail = hist[-per_swap:]
+                if tail.shape[0] < per_swap:
+                    pad = np.repeat(tail[:1], per_swap - tail.shape[0],
+                                    axis=0)
+                    tail = np.concatenate([pad, tail], axis=0)
+                M_last[nmc_idx] = tail.transpose(1, 2, 0)
 
         # ---- swap attempts (host; tiny) --------------------------------
         selected = select_non_overlapping_pairs(

@@ -367,6 +367,28 @@ class ShardedNPT:
             self._scan_jit[num_rounds] = jax.jit(scanned)
         return self._scan_jit[num_rounds](state)
 
+    def save(self, state: ShardedPTState, path: str) -> None:
+        """Snapshot a sharded run (states gathered to host, npz)."""
+        from ..utils.checkpoint import save_checkpoint
+        save_checkpoint(path, ShardedPTState(
+            m=np.asarray(state.m), beta_to_slot=np.asarray(state.beta_to_slot),
+            slot_to_beta=np.asarray(state.slot_to_beta),
+            key=np.asarray(state.key),
+            round_index=np.asarray(state.round_index)),
+            step=int(state.round_index))
+
+    def restore(self, path: str) -> ShardedPTState:
+        from ..utils.checkpoint import load_checkpoint
+        snap, _, _ = load_checkpoint(
+            path, namedtuple_registry={"ShardedPTState": ShardedPTState})
+        m = jax.device_put(jnp.asarray(snap.m),
+                           NamedSharding(self.mesh, P(self.axis, None)))
+        return ShardedPTState(
+            m=m, beta_to_slot=jnp.asarray(snap.beta_to_slot),
+            slot_to_beta=jnp.asarray(snap.slot_to_beta),
+            key=jnp.asarray(snap.key),
+            round_index=jnp.asarray(snap.round_index))
+
     def states_by_temperature(self, state: ShardedPTState) -> np.ndarray:
         """Gather states ordered by temperature index [R, n] (host)."""
         m = np.asarray(state.m)[np.asarray(state.beta_to_slot)]

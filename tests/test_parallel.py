@@ -169,3 +169,21 @@ def test_sharded_npt_sparse_lbp_mode():
     state = pt.init_state(jax.random.PRNGKey(0))
     state, metrics = pt.run(state, 2)
     assert np.isfinite(np.asarray(metrics.slot_energies)).all()
+
+
+def test_sharded_npt_checkpoint_roundtrip(tmp_path):
+    prob = random_sk(16, seed=6).normalized()[0]
+    cfg = ShardedNPTConfig(sweeps_per_phase=4, num_cycles=1,
+                           num_swapping_pairs=2, block_size=16)
+    pt = ShardedNPT(prob, np.linspace(0.4, 2.0, 8), [False] * 8, cfg)
+    state = pt.init_state(jax.random.PRNGKey(0))
+    state, _ = pt.run(state, 2)
+    path = str(tmp_path / "pt.npz")
+    pt.save(state, path)
+    restored = pt.restore(path)
+    np.testing.assert_array_equal(np.asarray(restored.m),
+                                  np.asarray(state.m))
+    # resumed run continues identically (same key + round_index)
+    a, _ = pt.round(state)
+    b, _ = pt.round(restored)
+    np.testing.assert_array_equal(np.asarray(a.m), np.asarray(b.m))
