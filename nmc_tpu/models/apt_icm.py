@@ -124,7 +124,7 @@ def apt_icm_run(
     host_rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel()[-1])
 
     # all R*S chains share one batched kernel; chain (r, s) runs at beta_list[r]
-    beta_chain = np.repeat(beta_list, S)[:, None]  # [R*S, 1]
+    beta_chain = np.repeat(beta_list, S)  # [R*S]
     all_pairs = [(i, i + 1) for i in range(1, R)]
     swap_counts = np.zeros(cfg.num_swap_attempts)
     icm_moves = icm_flips = 0
@@ -141,14 +141,13 @@ def apt_icm_run(
 
         # --- sweeps: 1 sweep (captures the 'first column' state), then rest
         res_a = engine.run(flat, k_a, num_sweeps=1, beta=1.0,
-                           beta_spin=np.broadcast_to(beta_chain, (R * S, n)))
+                           beta_replica=beta_chain)
         first_states = np.asarray(res_a.m, dtype=np.float64).reshape(R, S, n)
         e_first = np.asarray(res_a.energies)[0].reshape(R, S)
         if per_swap > 1:
             res_b = engine.run(np.asarray(res_a.m), k_b,
                                num_sweeps=per_swap - 1, beta=1.0,
-                               beta_spin=np.broadcast_to(beta_chain, (R * S, n)),
-                               record_m=record)
+                               beta_replica=beta_chain, record_m=record)
             final_states = np.asarray(res_b.m, dtype=np.float64).reshape(R, S, n)
             e_rest = np.asarray(res_b.energies).T.reshape(R, S, per_swap - 1)
             eb = np.asarray(res_b.e_best)

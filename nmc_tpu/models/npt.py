@@ -200,8 +200,7 @@ def npt_run(
         if mcmc_idx.size:
             res = engine.run(
                 m_start[mcmc_idx], k_mcmc, num_sweeps=per_swap, beta=1.0,
-                beta_spin=np.broadcast_to(beta_list[mcmc_idx, None],
-                                          (mcmc_idx.size, n)),
+                beta_replica=beta_list[mcmc_idx],
                 record_m=record,
             )
             m_start[mcmc_idx] = np.asarray(res.m)

@@ -126,6 +126,9 @@ class SweepEngine:
         sweeps_per_beta: int = 1,
         initial_beta: float = 0.0,
         beta_spin=None,          # [n] | [R, n] per-spin beta multiplier (heating)
+        beta_replica=None,       # [R] per-replica beta multiplier (PT); keeps
+                                 # the structure visible so large colored runs
+                                 # can route to the streaming Pallas kernel
         update_mask=None,        # [n] | [R, n] bool; False = frozen
         record_m: bool = False,
         blocked_input: bool = False,
@@ -146,7 +149,11 @@ class SweepEngine:
         else:
             beta_sweep = jnp.asarray(beta, dtype=self.dtype)
 
-        if beta_spin is None:
+        if beta_replica is not None:
+            if beta_spin is not None:
+                raise ValueError("pass beta_spin or beta_replica, not both")
+            bs = jnp.asarray(beta_replica, self.dtype).reshape(R, 1)
+        elif beta_spin is None:
             bs = jnp.ones((), dtype=self.dtype)
         else:
             bs = jnp.asarray(beta_spin, dtype=self.dtype)
@@ -167,22 +174,49 @@ class SweepEngine:
         # with fixed block order and no state recording; it keeps J/m/phi
         # VMEM-resident across all sweeps (ops/sweeps_pallas.py). Everything
         # else runs on the XLA engine.
-        use_pallas = (
+        pallas_ok = (
             self.backend in ("pallas", "auto")
             and self.blocked.colored
             and self.within_block == "jacobi"
             and self.block_order == "fixed"
             and not record_m
             and self.dtype == jnp.float32
-            # J must fit VMEM alongside the state tiles (~16 MB budget)
-            and self.n_pad <= 1536
             and jax.devices()[0].platform == "tpu"
-            and self.backend != "xla"
         )
-        if self.backend == "pallas" and not use_pallas:
+        # J must fit VMEM alongside the state tiles (~16 MB budget) for the
+        # resident kernel; beyond that the HBM-streaming kernel covers the
+        # plain-PT shape (per-replica beta, no per-spin masks/heating)
+        use_pallas = pallas_ok and self.n_pad <= 1536
+        use_streamed = (
+            pallas_ok and self.n_pad > 1536 and self.n_pad <= 12288
+            and update_mask is None and beta_spin is None
+        )
+        if self.backend == "pallas" and not (use_pallas or use_streamed):
             raise ValueError(
                 "pallas backend requires a colored float32 layout on TPU "
                 "with fixed block order and record_m=False")
+        if use_streamed:
+            from .sweeps_pallas import pallas_colored_sweeps_streamed
+
+            seed = jnp.int32(
+                jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max))
+            beta_row = (jnp.asarray(beta_replica, jnp.float32).reshape(R)
+                        if beta_replica is not None
+                        else jnp.ones((R,), jnp.float32))
+            pres = pallas_colored_sweeps_streamed(
+                self.J_rows, self.h, m0, phi, seed, beta_sweep, beta_row,
+                self.active, num_sweeps=num_sweeps,
+                block_size=self.blocked.block_size,
+            )
+            res = SweepResult(m=pres.m, phi=pres.phi, m_best=pres.m_best,
+                              e_best=pres.e_best, energies=pres.energies,
+                              M=None)
+            if blocked_output:
+                return res
+            return EngineResult(
+                m=self.from_blocked(res.m),
+                m_best=self.from_blocked(res.m_best),
+                e_best=res.e_best, energies=res.energies, M=None)
         if use_pallas:
             from .sweeps_pallas import pallas_colored_sweeps
 
