@@ -21,9 +21,11 @@ from .models.npt import NPTConfig, NPTResult, npt_run
 from .ops.coloring import color_groups, greedy_coloring, num_colors
 from .ops.engine import SweepEngine
 from .ops.lbp import (atanh_saturated, convexification_epsilon,
-                      lbp_convexified, loopy_belief_propagation)
+                      lbp_convexified, lbp_convexified_batch,
+                      loopy_belief_propagation)
 from .ops.clusters import (cluster_mask, disagreement_clusters, find_clusters,
-                           flatten_clusters)
+                           flatten_clusters, houdayer_move_device)
+from .ops.lbp_sparse import EdgeGraph, sparse_lbp, sparse_lbp_convexified
 
 __version__ = "0.1.0"
 
@@ -35,9 +37,10 @@ __all__ = [
     "NPTConfig", "NPTResult", "npt_run",
     "APTConfig", "APTResult", "apt_preprocess",
     "APTICMConfig", "APTICMResult", "apt_icm_run",
-    "loopy_belief_propagation", "lbp_convexified", "atanh_saturated",
-    "convexification_epsilon",
+    "loopy_belief_propagation", "lbp_convexified", "lbp_convexified_batch",
+    "atanh_saturated", "convexification_epsilon",
+    "EdgeGraph", "sparse_lbp", "sparse_lbp_convexified",
     "find_clusters", "flatten_clusters", "cluster_mask",
-    "disagreement_clusters",
+    "disagreement_clusters", "houdayer_move_device",
     "greedy_coloring", "color_groups", "num_colors",
 ]

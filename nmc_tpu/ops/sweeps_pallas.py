@@ -215,7 +215,7 @@ def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
 
         dma(slot, b).wait()
 
-        s = pl.multiple_of(b * B, B)  # noqa: shadows module alias locally
+        s = pl.multiple_of(b * B, B)
         beta_t = beta_sweep_ref[t]
         bits = pltpu.prng_random_bits((r_tile, B))
         bits24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8,
