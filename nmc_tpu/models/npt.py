@@ -12,7 +12,7 @@ per-replica beta vector, all NMC replicas run as ONE batched nmc_subroutine
 call, swap energies come free from the cached-field energy traces, and the
 state exchange is a tiny host-side permutation of the replica axis. The
 irregular pair-selection logic (npt.py:514-533) stays on the host where it
-belongs. For multi-chip replica sharding see parallel/replica_sharding.py
+belongs. For multi-chip replica sharding see parallel/sharded_pt.py
 (beta-label permutation instead of state movement).
 """
 
