@@ -150,6 +150,23 @@ def cmd_icm(args):
     }))
 
 
+def cmd_evaluate(args):
+    from . import evaluation as ev
+
+    folder_fns = {"wishart": ev.wishart_folder_instances,
+                  "chimera": ev.chimera_folder_instances,
+                  "dcl": ev.dcl_folder_instances}
+    instances = list(folder_fns[args.family](args.folder, limit=args.limit))
+    solver = ev.make_pt_solver(
+        num_replicas=args.replicas, beta_min=args.beta_start,
+        beta_max=args.beta_max, sweeps=args.sweeps,
+        swap_attempts=args.swap_attempts, block_size=args.block_size,
+        use_coloring=args.coloring, nmc_coldest=args.nmc_coldest,
+        key_seed=args.seed)
+    report = ev.evaluate_solver(instances, solver, tolerance=args.tolerance)
+    print(report.to_json())
+
+
 def cmd_generate(args):
     from .io import generators, writers
 
@@ -238,6 +255,24 @@ def main(argv=None):
     p.add_argument("--swap-attempts", type=int, default=100)
     p.add_argument("--subreplicas", type=int, default=10)
     p.set_defaults(fn=cmd_icm)
+
+    p = sub.add_parser("evaluate",
+                       help="ground-truth hit-rate over a benchmark folder")
+    p.add_argument("--folder", required=True)
+    p.add_argument("--family", default="wishart",
+                   choices=["wishart", "chimera", "dcl"])
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--replicas", type=int, default=12)
+    p.add_argument("--beta-start", type=float, default=0.3)
+    p.add_argument("--beta-max", type=float, default=4.0)
+    p.add_argument("--sweeps", type=int, default=2000)
+    p.add_argument("--swap-attempts", type=int, default=20)
+    p.add_argument("--nmc-coldest", type=int, default=0)
+    p.add_argument("--tolerance", type=float, default=1e-6)
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--coloring", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("generate", help="write benchmark instances")
     p.add_argument("--kind", required=True,

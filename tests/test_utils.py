@@ -120,3 +120,27 @@ class TestCLI:
         assert len(out["Energy"]) == 3
         kinds = {json.loads(l)["kind"] for l in open("metrics.jsonl")}
         assert "swap" in kinds and "sweeps" in kinds
+
+
+class TestEvaluateCLI:
+    def test_evaluate_subcommand(self, tmp_path, monkeypatch, capsys):
+        import json as _json
+        from nmc_tpu.cli import main
+        from nmc_tpu.io.generators import wishart_planted
+        from nmc_tpu.io.writers import save_edgelist
+        # build a tiny wishart folder with ground truths
+        folder = tmp_path / "wf"
+        folder.mkdir()
+        lines = []
+        for seed in (1, 2):
+            prob, t, gs = wishart_planted(10, 0.6, seed=seed)
+            name = f"inst_{seed}.txt"
+            save_edgelist(str(folder / name), prob, include_fields=False)
+            lines.append(f"{name}\t{gs}")
+        (folder / "gs_energies.txt").write_text("\n".join(lines))
+        main(["evaluate", "--folder", str(folder), "--family", "wishart",
+              "--replicas", "6", "--sweeps", "240", "--swap-attempts", "4",
+              "--block-size", "16", "--beta-max", "3.0"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["summary"]["num_instances"] == 2
+        assert out["summary"]["hit_rate"] == 1.0
