@@ -71,6 +71,16 @@ class SweepEngine:
             col_idx, J_tiles = block_sparse_tiles(self.blocked)
             self.sparse_tiles = (jnp.asarray(col_idx),
                                  jnp.asarray(J_tiles))
+        # Sparse-tile streaming Pallas kernel (TPU, colored, large N): DMA
+        # and multiply only the nonzero [B,B] column tiles of J — 2.6x the
+        # dense streaming path at chimera-5408 (docs/BENCHMARKS.md)
+        self._stream_tiles = None
+        if (self.blocked.colored and self.blocked.n_pad > 1536
+                and backend in ("auto", "pallas")):
+            col_idx, J_tiles = block_sparse_tiles(self.blocked)
+            if col_idx.shape[1] <= self.blocked.num_blocks // 2:
+                self._stream_tiles = (jnp.asarray(col_idx),
+                                      jnp.asarray(J_tiles))
         b = self.blocked
         self.J_rows = jnp.asarray(b.J_rows)
         self.J_diag = jnp.asarray(b.J_diag)
@@ -196,18 +206,27 @@ class SweepEngine:
                 "pallas backend requires a colored float32 layout on TPU "
                 "with fixed block order and record_m=False")
         if use_streamed:
-            from .sweeps_pallas import pallas_colored_sweeps_streamed
+            from .sweeps_pallas import (pallas_colored_sweeps_sparse,
+                                        pallas_colored_sweeps_streamed)
 
             seed = jnp.int32(
                 jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max))
             beta_row = (jnp.asarray(beta_replica, jnp.float32).reshape(R)
                         if beta_replica is not None
                         else jnp.ones((R,), jnp.float32))
-            pres = pallas_colored_sweeps_streamed(
-                self.J_rows, self.h, m0, phi, seed, beta_sweep, beta_row,
-                self.active, num_sweeps=num_sweeps,
-                block_size=self.blocked.block_size,
-            )
+            if self._stream_tiles is not None:
+                col_idx, J_tiles = self._stream_tiles
+                pres = pallas_colored_sweeps_sparse(
+                    col_idx, J_tiles, self.h, m0, phi, seed, beta_sweep,
+                    beta_row, self.active, num_sweeps=num_sweeps,
+                    block_size=self.blocked.block_size,
+                )
+            else:
+                pres = pallas_colored_sweeps_streamed(
+                    self.J_rows, self.h, m0, phi, seed, beta_sweep, beta_row,
+                    self.active, num_sweeps=num_sweeps,
+                    block_size=self.blocked.block_size,
+                )
             res = SweepResult(m=pres.m, phi=pres.phi, m_best=pres.m_best,
                               e_best=pres.e_best, energies=pres.energies,
                               M=None)

@@ -335,3 +335,159 @@ def pallas_colored_sweeps_streamed(
     )
     return PallasSweepResult(m=m, phi=phi, m_best=m_best,
                              e_best=e_best[:, 0], energies=energies)
+
+
+def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
+                            r_tile, n_pad,
+                            seed_ref, beta_sweep_ref, col_idx_ref,   # SMEM
+                            J_tiles_hbm_ref, h_ref, beta_row_ref, active_ref,
+                            m_in_ref, phi_in_ref,                     # aliased
+                            m_ref, phi_ref, mbest_ref, ebest_ref, e_ref,
+                            tbuf, sems):                              # scratch
+    g = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + g)
+
+    mbest_ref[:] = m_ref[:]
+    ebest_ref[:] = jnp.full((r_tile, 1), jnp.inf, jnp.float32)
+
+    B = block_size
+    K = num_tiles
+    total = num_sweeps * num_blocks
+
+    def dma(slot, b):
+        # one contiguous [K, B, B] slab of nonzero column tiles per block
+        return pltpu.make_async_copy(J_tiles_hbm_ref.at[b], tbuf.at[slot],
+                                     sems.at[slot])
+
+    dma(0, 0).start()
+
+    def step(i, _):
+        t = i // num_blocks
+        b = i % num_blocks
+        slot = i % 2
+        nslot = (i + 1) % 2
+
+        @pl.when(i + 1 < total)
+        def _():
+            dma(nslot, (i + 1) % num_blocks).start()
+
+        dma(slot, b).wait()
+
+        s = pl.multiple_of(b * B, B)
+        beta_t = beta_sweep_ref[t]
+        bits = pltpu.prng_random_bits((r_tile, B))
+        bits24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8,
+                               jnp.int32)
+        u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+        xb = phi_ref[:, pl.ds(s, B)]
+        mb = m_ref[:, pl.ds(s, B)]
+        betab = beta_t * beta_row_ref[:]
+        actb = active_ref[:, pl.ds(s, B)]
+        p_up = 0.5 * (1.0 + jnp.tanh(betab * xb))
+        new = jnp.where(u < p_up, 1.0, -1.0).astype(jnp.float32)
+        new = jnp.where(actb > 0, new, mb)
+        dm = new - mb
+        m_ref[:, pl.ds(s, B)] = new
+        # phi update over the nonzero column tiles only (zero-padded tiles
+        # write a harmless zero delta to column block 0)
+        for k in range(K):
+            j = col_idx_ref[b * K + k]
+            c = pl.multiple_of(j * B, B)
+            phi_ref[:, pl.ds(c, B)] = phi_ref[:, pl.ds(c, B)] + jnp.dot(
+                dm.astype(tbuf.dtype), tbuf[slot, k],
+                preferred_element_type=jnp.float32)
+
+        @pl.when(b == num_blocks - 1)
+        def _():
+            e = -0.5 * jnp.sum(m_ref[:] * (phi_ref[:] + h_ref[:]),
+                               axis=1, keepdims=True)
+            e_ref[pl.ds(t, 1), :] = e.T
+            better = e < ebest_ref[:]
+            ebest_ref[:] = jnp.where(better, e, ebest_ref[:])
+            mbest_ref[:] = jnp.where(better, m_ref[:], mbest_ref[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, total, step, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_sweeps", "block_size", "r_tile"),
+)
+def pallas_colored_sweeps_sparse(
+    col_idx,      # [nB, K] int32 nonzero column-tile indices per row block
+    J_tiles,      # [nB, K, B, B] (f32 or bf16), stays in HBM
+    h, m0, phi0, seed, beta_sweep, beta_row, active,
+    *,
+    num_sweeps: int,
+    block_size: int = 128,
+    r_tile: int = 128,
+) -> PallasSweepResult:
+    """Block-SPARSE streaming colored kernel: per spin block only the
+    nonzero [B, B] column tiles of J are DMA'd and multiplied — cuts both
+    HBM traffic and MACs by ~num_blocks/K on sparse topologies, with the
+    tile loop fused in VMEM (the XLA-level tile loop measured slower due
+    to dynamic-update-slice copies; see docs/BENCHMARKS.md)."""
+    nB, K, B, _ = J_tiles.shape
+    n_pad = m0.shape[1]
+    R = m0.shape[0]
+    if R % r_tile:
+        r_tile = R
+    grid = (R // r_tile,)
+
+    kern = functools.partial(_sparse_streamed_kernel, num_sweeps, nB, B, K,
+                             r_tile, n_pad)
+    vm = pltpu.VMEM
+    rspec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
+                         memory_space=vm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,   # seed, beta_sweep, col_idx (flat)
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),                    # tiles
+            pl.BlockSpec((n_pad,), lambda g, *_: (0,),
+                         memory_space=vm),                           # h
+            pl.BlockSpec((r_tile, 1), lambda g, *_: (g, 0),
+                         memory_space=vm),                           # beta
+            pl.BlockSpec((1, n_pad), lambda g, *_: (0, 0),
+                         memory_space=vm),                           # active
+            rspec, rspec,                                            # m, phi
+        ],
+        out_specs=(
+            rspec, rspec, rspec,
+            pl.BlockSpec((r_tile, 1), lambda g, *_: (g, 0),
+                         memory_space=vm),
+            pl.BlockSpec((num_sweeps, r_tile), lambda g, *_: (0, g),
+                         memory_space=vm),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, B, B), J_tiles.dtype),  # tile double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((num_sweeps, R), jnp.float32),
+    )
+    m, phi, m_best, e_best, energies = pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes,
+        # 0:seed 1:beta_sweep 2:col_idx 3:tiles 4:h 5:beta 6:active 7:m 8:phi
+        input_output_aliases={7: 0, 8: 1},
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.broadcast_to(jnp.asarray(beta_sweep, jnp.float32), (num_sweeps,)),
+        jnp.asarray(col_idx, jnp.int32).reshape(-1),
+        jnp.asarray(J_tiles),
+        jnp.asarray(h, jnp.float32),
+        jnp.asarray(beta_row, jnp.float32).reshape(R, 1),
+        jnp.asarray(active, jnp.float32).reshape(1, n_pad),
+        jnp.asarray(m0, jnp.float32),
+        jnp.asarray(phi0, jnp.float32),
+    )
+    return PallasSweepResult(m=m, phi=phi, m_best=m_best,
+                             e_best=e_best[:, 0], energies=energies)

@@ -127,3 +127,22 @@ def test_streamed_kernel_invariants_tpu(rng):
     Jf = np.asarray(b.J_rows.reshape(b.n_pad, b.n_pad))
     np.testing.assert_allclose(np.asarray(res.phi),
                                m @ Jf + np.asarray(h), atol=1e-3)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="sparse streaming kernel is TPU-only")
+def test_sparse_streamed_kernel_invariants_tpu(rng):
+    from nmc_tpu.core.problem import block_sparse_tiles
+    from nmc_tpu.ops.sweeps_pallas import pallas_colored_sweeps_sparse
+    prob = ea_2d(16, seed=0)
+    b, J, h, m0, phi0, _ = _setup(prob, R=8, block_size=128)
+    col_idx, J_tiles = block_sparse_tiles(b)
+    res = pallas_colored_sweeps_sparse(
+        col_idx, J_tiles, h, m0, phi0, 42, np.full(10, 1.0, np.float32),
+        np.ones(8, np.float32), b.active, num_sweeps=10, block_size=128,
+        r_tile=8)
+    m = np.asarray(res.m)
+    assert set(np.unique(m)) <= {-1.0, 1.0}
+    Jf = np.asarray(b.J_rows.reshape(b.n_pad, b.n_pad))
+    np.testing.assert_allclose(np.asarray(res.phi),
+                               m @ Jf + np.asarray(h), atol=1e-3)
