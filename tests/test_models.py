@@ -173,3 +173,21 @@ class TestDeviceICM:
         assert np.isfinite(res.Energy).all()
         assert set(np.unique(res.final_states)) <= {-1.0, 1.0}
         assert res.icm_moves + res.icm_flips > 0
+
+
+class TestICMRecord:
+    def test_last_round_history_semantics(self):
+        from nmc_tpu.io.generators import ea_2d
+        prob = ea_2d(4, seed=7).normalized()[0]
+        cfg = APTICMConfig(num_sweeps_MCMC=16, num_sweeps_read=16,
+                           num_swap_attempts=2, num_subreplicas=2,
+                           record_last_round_m=True, block_size=16)
+        res = apt_icm_run(prob, [0.5, 1.5], cfg, jax.random.PRNGKey(3))
+        H = res.M_history
+        assert H is not None and H.shape == (2, 2, 8, 16)
+        assert set(np.unique(H)) <= {-1.0, 1.0}
+        # final column of the record equals the chains' continuation states
+        # UNLESS a PT swap exchanged them afterwards; energies of the final
+        # column must match the reported last-round trace resolution anyway
+        e_rec = prob.energy(H[:, 0, : res.energy_trace.shape[1], :])
+        np.testing.assert_allclose(e_rec, res.energy_trace, atol=1e-3)
