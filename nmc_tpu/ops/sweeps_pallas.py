@@ -119,8 +119,9 @@ def pallas_colored_sweeps(
     R = m0.shape[0]
     if n_pad % block_size:
         raise ValueError("n_pad must be a multiple of block_size")
-    if R % r_tile:
-        r_tile = R  # single tile fallback for small batches
+    if R % r_tile or (r_tile % 128 and r_tile != R):
+        r_tile = R  # single tile fallback (lane dim must be 128-divisible
+                    # or equal to the full replica count)
     num_blocks = n_pad // block_size
     grid = (R // r_tile,)
 
@@ -277,7 +278,7 @@ def pallas_colored_sweeps_streamed(
     nB, B, n_pad = J_blocks.shape
     j_dtype = J_blocks.dtype
     R = m0.shape[0]
-    if R % r_tile:
+    if R % r_tile or (r_tile % 128 and r_tile != R):
         r_tile = R
     grid = (R // r_tile,)
 
@@ -433,7 +434,7 @@ def pallas_colored_sweeps_sparse(
     nB, K, B, _ = J_tiles.shape
     n_pad = m0.shape[1]
     R = m0.shape[0]
-    if R % r_tile:
+    if R % r_tile or (r_tile % 128 and r_tile != R):
         r_tile = R
     grid = (R // r_tile,)
 
