@@ -128,7 +128,7 @@ def make_pt_solver(num_replicas=12, beta_min=0.3, beta_max=4.0,
                    sweeps=2000, swap_attempts=20, key_seed=0,
                    block_size=128, use_coloring=False,
                    nmc_coldest=0, lambda_start=3.0, tolerance=1e-8,
-                   max_iterations=300, **npt_kwargs):
+                   max_iterations=300, num_cycles=2, **npt_kwargs):
     """A standard NPT-based solve() for evaluation runs."""
     import jax
 
@@ -141,7 +141,7 @@ def make_pt_solver(num_replicas=12, beta_min=0.3, beta_max=4.0,
             num_sweeps_MCMC=sweeps, num_sweeps_read=sweeps,
             num_swap_attempts=swap_attempts,
             num_swapping_pairs=max(num_replicas // 4, 1),
-            num_cycles=2, record_last_round_m=False,
+            num_cycles=num_cycles, record_last_round_m=False,
             block_size=block_size, use_coloring=use_coloring,
             lambda_start=lambda_start, tolerance=tolerance,
             max_iterations=max_iterations,
