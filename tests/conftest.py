@@ -55,6 +55,9 @@ def _load_reference_module(relpath, name):
     path = os.path.join(REFERENCE_PATH, relpath)
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
+    # register before exec so the reference's ProcessPoolExecutor args
+    # (bound methods) stay picklable
+    sys.modules[name] = mod
     spec.loader.exec_module(mod)
     return mod
 
@@ -64,6 +67,13 @@ def reference_nmc():
     if not os.path.exists(os.path.join(REFERENCE_PATH, "NMC/nmc.py")):
         pytest.skip("reference repo not available")
     return _load_reference_module("NMC/nmc.py", "ref_nmc")
+
+
+@pytest.fixture(scope="session")
+def reference_npt():
+    if not os.path.exists(os.path.join(REFERENCE_PATH, "NPT/npt.py")):
+        pytest.skip("reference repo not available")
+    return _load_reference_module("NPT/npt.py", "ref_npt")
 
 
 @pytest.fixture(scope="session")
