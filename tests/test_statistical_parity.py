@@ -63,3 +63,38 @@ def test_npt_energy_statistics_match_reference(rng, reference_npt):
     r, o = np.array(ref_hot), np.array(ours_hot)
     se = np.sqrt(r.var(ddof=1) / len(r) + o.var(ddof=1) / len(o))
     assert abs(r.mean() - o.mean()) < 3 * se + 1e-9, (r.mean(), o.mean(), se)
+
+
+@pytest.mark.slow
+def test_mcmc_equilibrium_matches_reference_kernel(rng, reference_npt):
+    """The raw sweep kernels sample the same Boltzmann ensemble: mean
+    equilibrium energy of the reference MCMC vs this engine at fixed beta
+    agree within pooled error."""
+    from nmc_tpu.ops.engine import SweepEngine
+
+    J, h = random_sk(rng, 8)
+    J *= 0.5
+    h *= 0.5
+    beta = 0.9
+    npt = reference_npt.NPT(J.copy(), h.copy())
+    prob = IsingProblem(J, h)
+
+    # reference: 6 chains x 400 sweeps, discard half as burn-in
+    np.random.seed(7)
+    ref_e = []
+    for c in range(6):
+        m0 = np.sign(np.random.rand(8) - 0.5)
+        M = npt.MCMC(400, m0, beta, J, h)
+        tail = M[:, 200:]
+        e = [-(m @ J @ m / 2 + m @ h) for m in tail.T]
+        ref_e.append(np.mean(e))
+
+    eng = SweepEngine(prob, block_size=8)
+    m0 = np.asarray(eng.from_blocked(
+        eng.init_states(jax.random.PRNGKey(0), 6)))
+    res = eng.run(m0, jax.random.PRNGKey(1), num_sweeps=400, beta=beta)
+    ours_e = np.asarray(res.energies)[200:].mean(axis=0)
+
+    r, o = np.array(ref_e), np.array(ours_e)
+    se = np.sqrt(r.var(ddof=1) / len(r) + o.var(ddof=1) / len(o))
+    assert abs(r.mean() - o.mean()) < 3 * se + 1e-9, (r.mean(), o.mean(), se)
