@@ -98,3 +98,45 @@ def test_mcmc_equilibrium_matches_reference_kernel(rng, reference_npt):
     r, o = np.array(ref_e), np.array(ours_e)
     se = np.sqrt(r.var(ddof=1) / len(r) + o.var(ddof=1) / len(o))
     assert abs(r.mean() - o.mean()) < 3 * se + 1e-9, (r.mean(), o.mean(), se)
+
+
+@pytest.mark.slow
+def test_apt_schedule_statistics_match_reference(rng, tmp_path, monkeypatch):
+    """APT beta ladders built by both frameworks on the same instance have
+    statistically matching shape (rung count and final beta)."""
+    import os
+    from conftest import _load_reference_module
+    from nmc_tpu import APTConfig, apt_preprocess
+
+    if not os.path.exists("/root/reference/NPT/apt_preprocessor.py"):
+        pytest.skip("reference repo not available")
+    ref_mod = _load_reference_module("NPT/apt_preprocessor.py", "ref_apt")
+    monkeypatch.chdir(tmp_path)  # reference writes artifacts into CWD
+
+    J, h = random_sk(rng, 8)
+    params = dict(num_sweeps_MCMC=200, num_sweeps_read=200, num_rng=6,
+                  beta_start=0.5, alpha=1.25, beta_max=30.0)
+
+    ref_lens, ref_final = [], []
+    for seed in range(4):
+        np.random.seed(seed)
+        apt = ref_mod.APT_preprocessor(J.copy(), h.copy())
+        with contextlib.redirect_stdout(io.StringIO()):
+            beta, sigma = apt.run(use_hash_table=0, num_cores=1, **params)
+        ref_lens.append(len(beta))
+        ref_final.append(float(np.asarray(beta[-1]).item()))
+
+    our_lens, our_final = [], []
+    for seed in range(4):
+        res = apt_preprocess(IsingProblem(J, h),
+                             APTConfig(block_size=8, **params),
+                             jax.random.PRNGKey(seed))
+        our_lens.append(len(res.beta))
+        our_final.append(res.beta[-1])
+
+    # same ladder structure: rung counts within 2 and final betas within
+    # 3 pooled standard errors
+    assert abs(np.mean(ref_lens) - np.mean(our_lens)) <= 2.0
+    r, o = np.array(ref_final), np.array(our_final)
+    se = np.sqrt(r.var(ddof=1) / len(r) + o.var(ddof=1) / len(o))
+    assert abs(r.mean() - o.mean()) < 3 * se + 0.5, (r.mean(), o.mean(), se)
