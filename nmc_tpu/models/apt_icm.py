@@ -27,6 +27,8 @@ the chains (the physically intended ICM).
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -37,6 +39,8 @@ from ..core.problem import IsingProblem
 from ..ops.clusters import (disagreement_clusters_adj,
                             houdayer_move_device)
 from ..ops.engine import SweepEngine
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.metrics import MetricsLogger
 from .npt import select_non_overlapping_pairs
 
 
@@ -63,6 +67,13 @@ class APTICMConfig:
     use_coloring: bool = False
     dtype: str = "float32"
     precision: str = "highest"
+    # fault tolerance (mirrors NPTConfig; the drivers are feature-symmetric)
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 0      # snapshot every K swap rounds (0 = off)
+    resume: bool = False
+    # time-to-solution instrumentation (NORMALIZED units; see NPTConfig)
+    target_energy: Optional[float] = None
+    target_atol: float = 0.0
 
 
 class APTICMResult(NamedTuple):
@@ -78,6 +89,9 @@ class APTICMResult(NamedTuple):
     icm_moves: int              # Houdayer exchanges performed
     icm_flips: int              # Katzgraber full flips performed
     beta_list: np.ndarray
+    rounds_completed: int = 0
+    hit_round: Optional[int] = None
+    hit_seconds: Optional[float] = None
 
 
 import functools
@@ -97,7 +111,9 @@ def apt_icm_run(
     beta_list: Sequence[float],
     cfg: APTICMConfig = APTICMConfig(),
     key: Optional[jax.Array] = None,
+    metrics: Optional["MetricsLogger"] = None,
 ) -> APTICMResult:
+    t_entry = time.perf_counter()
     if key is None:
         key = jax.random.PRNGKey(0)
     beta_list = np.asarray(beta_list, dtype=np.float64).reshape(-1)
@@ -132,8 +148,26 @@ def apt_icm_run(
     energies_round = np.zeros((R, S, per_swap))
 
     M_history = None
+    start_round = 0
+    if cfg.resume and cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        snap, step, extra = load_checkpoint(cfg.checkpoint_path)
+        m_start = snap["m_start"]
+        energies_round = snap["energies_round"]
+        swap_counts = snap["swap_counts"]
+        best_e = float(snap["best_e"])
+        best_state = snap["best_state"]
+        key = jnp.asarray(snap["key"])
+        icm_moves = int(snap["icm_moves"])
+        icm_flips = int(snap["icm_flips"])
+        host_rng.bit_generator.state = extra["rng_state"]
+        start_round = int(step)
 
-    for round_i in range(cfg.num_swap_attempts):
+    rounds_completed = start_round
+    hit_round: Optional[int] = None
+    hit_seconds: Optional[float] = None
+
+    for round_i in range(start_round, cfg.num_swap_attempts):
+        round_t0 = time.perf_counter()
         key, k_a, k_b = jax.random.split(key, 3)
         flat = m_start.reshape(R * S, n)
         record = (cfg.record_last_round_m
@@ -252,6 +286,37 @@ def apt_icm_run(
                     m_start[[sel - 1, nxt - 1], s] = m_start[[nxt - 1, sel - 1], s]
                     last_e[[sel - 1, nxt - 1], s] = last_e[[nxt - 1, sel - 1], s]
 
+        rounds_completed = round_i + 1
+        if metrics is not None:
+            metrics.swap_stats(round_index=round_i,
+                               pairs=[list(p) for p in selected],
+                               accepted=int(swap_counts[round_i]),
+                               energies=last_e[:, 0])
+            metrics.sweep_stats(phase="icm_round", num_sweeps=per_swap,
+                                num_chains=R * S, num_spins=n,
+                                seconds=time.perf_counter() - round_t0,
+                                min_energy=best_e)
+        if cfg.target_energy is not None and np.isfinite(best_e):
+            slack = 1e-3 * max(abs(cfg.target_energy), 1.0)
+            if best_e <= cfg.target_energy + cfg.target_atol + slack:
+                e64 = float(norm_prob.energy(best_state))
+                if e64 <= cfg.target_energy + cfg.target_atol:
+                    hit_round = round_i
+                    hit_seconds = time.perf_counter() - t_entry
+                    break
+        if (cfg.checkpoint_path and cfg.checkpoint_every
+                and (round_i + 1) % cfg.checkpoint_every == 0):
+            save_checkpoint(
+                cfg.checkpoint_path,
+                {"m_start": m_start, "energies_round": energies_round,
+                 "swap_counts": swap_counts, "best_e": best_e,
+                 "best_state": best_state, "key": np.asarray(key),
+                 "icm_moves": icm_moves, "icm_flips": icm_flips},
+                step=round_i + 1,
+                extra={"rng_state": host_rng.bit_generator.state,
+                       "beta_list": beta_list},
+            )
+
     trace = energies_round[:, 0, :read_per_swap]
     Energy = trace.min(axis=1)
     # exact float64 energy of the best state (device energies are float32)
@@ -261,4 +326,6 @@ def apt_icm_run(
         M_history=M_history,
         min_energy=best_e, best_state=best_state, swap_counts=swap_counts,
         icm_moves=icm_moves, icm_flips=icm_flips, beta_list=beta_list,
+        rounds_completed=rounds_completed,
+        hit_round=hit_round, hit_seconds=hit_seconds,
     )

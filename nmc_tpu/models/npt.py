@@ -66,6 +66,14 @@ class NPTConfig:
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 0      # snapshot every K swap rounds (0 = off)
     resume: bool = False           # restore from checkpoint_path if present
+    # time-to-solution instrumentation (the reference paper's methodology:
+    # run until the known ground state is reached, record the time). When
+    # `target_energy` (NORMALIZED units) is set, the run stops early once a
+    # float64 re-evaluation of the best state reaches
+    # target_energy + target_atol, and NPTResult carries hit_round /
+    # hit_seconds.
+    target_energy: Optional[float] = None
+    target_atol: float = 0.0
 
     def derived_budgets(self):
         """Per-swap sweep budgets (/root/reference/NPT/npt.py:577-580)."""
@@ -87,6 +95,9 @@ class NPTResult(NamedTuple):
     swap_accepted: np.ndarray    # [rounds*pairs, 2]
     beta_list: np.ndarray
     norm_factor: float
+    rounds_completed: int = 0           # swap rounds actually executed
+    hit_round: Optional[int] = None     # round index reaching target_energy
+    hit_seconds: Optional[float] = None  # wall-clock to target (from entry)
 
     @property
     def acceptance_rate(self) -> float:
@@ -119,6 +130,7 @@ def npt_run(
     key: Optional[jax.Array] = None,
     metrics: Optional[MetricsLogger] = None,
 ) -> NPTResult:
+    t_entry = time.perf_counter()
     if key is None:
         key = jax.random.PRNGKey(0)
     beta_list = np.asarray(beta_list, dtype=np.float64).reshape(-1)
@@ -138,6 +150,14 @@ def npt_run(
     per_swap, read_per_swap, nmc_phase_sweeps = cfg.derived_budgets()
     if per_swap < 1:
         raise ValueError("num_sweeps_MCMC // num_swap_attempts must be >= 1")
+    if read_per_swap > per_swap:
+        # the final-report trace only holds per_swap sweeps per round; a
+        # larger read window would silently clip (the reference never
+        # validates this either — npt.py:643 slices the same window)
+        raise ValueError(
+            f"num_sweeps_read ({cfg.num_sweeps_read}) must be <= "
+            f"num_sweeps_MCMC ({cfg.num_sweeps_MCMC}): the per-round energy "
+            f"trace holds num_sweeps_MCMC // num_swap_attempts sweeps")
 
     nmc_cfg = NMCConfig(
         num_sweeps_per_NMC_phase=nmc_phase_sweeps,
@@ -189,6 +209,10 @@ def npt_run(
         swap_index = int(snap["swap_index"])
         host_rng.bit_generator.state = extra["rng_state"]
         start_round = int(step)
+
+    rounds_completed = start_round
+    hit_round: Optional[int] = None
+    hit_seconds: Optional[float] = None
 
     for round_i in range(start_round, cfg.num_swap_attempts):
         round_t0 = time.perf_counter()
@@ -260,6 +284,23 @@ def npt_run(
                 last_energy[[sel - 1, nxt - 1]] = last_energy[[nxt - 1, sel - 1]]
             swap_index += 1
 
+        rounds_completed = round_i + 1
+        if cfg.target_energy is not None and np.isfinite(best_e):
+            # device energies are f32; re-verify in f64 before declaring a
+            # hit (slack absorbs the f32 rounding of the trigger)
+            slack = 1e-3 * max(abs(cfg.target_energy), 1.0)
+            if best_e <= cfg.target_energy + cfg.target_atol + slack:
+                e64 = float(norm_prob.energy(best_state))
+                if e64 <= cfg.target_energy + cfg.target_atol:
+                    hit_round = round_i
+                    hit_seconds = time.perf_counter() - t_entry
+                    if metrics is not None:
+                        metrics.sweep_stats(
+                            phase="npt_target_hit", num_sweeps=per_swap,
+                            num_chains=R, num_spins=n, seconds=hit_seconds,
+                            min_energy=e64)
+                    break
+
         if metrics is not None:
             metrics.swap_stats(round_index=round_i,
                                pairs=[list(p) for p in selected],
@@ -299,4 +340,6 @@ def npt_run(
         swap_counts=swap_counts, swap_attempted=swap_attempted,
         swap_accepted=swap_accepted, beta_list=beta_list,
         norm_factor=norm_factor,
+        rounds_completed=rounds_completed,
+        hit_round=hit_round, hit_seconds=hit_seconds,
     )

@@ -67,7 +67,14 @@ def loopy_belief_propagation(
     """
     h = jnp.asarray(h).reshape(-1)
     beta = jnp.asarray(beta, J.dtype)
-    tol = jnp.asarray(tolerance, J.dtype)
+    # Dtype-aware tolerance floor: the reference's float64-eps default is
+    # unreachable for the float32 relative-change plateau (rounding noise
+    # sits at a few ulps), which would misreport convergence as divergence.
+    # float64 keeps the raw tolerance so x64 parity runs are unchanged.
+    eps = jnp.finfo(J.dtype).eps
+    floor = eps if J.dtype == jnp.float64 else 4 * eps
+    tol = jnp.maximum(jnp.asarray(tolerance, J.dtype), floor)
+    tiny = jnp.finfo(J.dtype).tiny  # guards the 0/0 case at exact fixed points
     tanh_bJ = jnp.tanh(beta * J)
     eye = jnp.eye(J.shape[0], dtype=J.dtype)
 
@@ -77,8 +84,10 @@ def loopy_belief_propagation(
         col_in = h + jnp.sum(u_m, axis=0)            # [N]
         h_new = (col_in[:, None] - u_m.T) * (1.0 - eye)
         u_new = atanh_saturated(tanh_bJ * jnp.tanh(beta * h_new)) / beta
-        u_change = jnp.max(jnp.abs(u_new - u_m)) / jnp.max(jnp.abs(u_new) + jnp.abs(u_m))
-        h_change = jnp.max(jnp.abs(h_new - h_m)) / jnp.max(jnp.abs(h_new) + jnp.abs(h_m))
+        u_change = jnp.max(jnp.abs(u_new - u_m)) / (
+            jnp.max(jnp.abs(u_new) + jnp.abs(u_m)) + tiny)
+        h_change = jnp.max(jnp.abs(h_new - h_m)) / (
+            jnp.max(jnp.abs(h_new) + jnp.abs(h_m)) + tiny)
         converged = (u_change < tol) & (h_change < tol)
         return h_new, u_new, it + 1, converged
 

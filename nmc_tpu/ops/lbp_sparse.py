@@ -79,7 +79,10 @@ def sparse_lbp(
 ):
     """Edge-message LBP; u0 [E] warm-start messages."""
     beta = jnp.asarray(beta, h.dtype)
-    tol = jnp.asarray(tolerance, h.dtype)
+    # dtype-aware tolerance floor (see ops/lbp.loopy_belief_propagation)
+    eps = jnp.finfo(h.dtype).eps
+    floor = eps if h.dtype == jnp.float64 else 4 * eps
+    tol = jnp.maximum(jnp.asarray(tolerance, h.dtype), floor)
     tanh_bw = jnp.tanh(beta * weight)
 
     def step(state):
@@ -118,13 +121,14 @@ def sparse_lbp_convexified(
     """Lambda-annealed convexified LBP over edge messages.
 
     Same ladder/divergence policy as ops/lbp.lbp_convexified; warm start
-    u0[e] = J_e * m_star[src(e)] mirrors the dense u_msgs = J * m_star
-    row-broadcast (/root/reference/NMC/nmc.py:129).
+    u0[e=i->j] = J_ij * m_star[j] mirrors the dense u_msgs = J * m_star
+    row-broadcast (/root/reference/NMC/nmc.py:129: u[i, j] picks up
+    m_star[j], the DESTINATION node).
     """
     h = jnp.asarray(h).reshape(-1)
     m_star = jnp.asarray(m_star, h.dtype).reshape(-1)
     epsilon = jnp.asarray(epsilon, h.dtype).reshape(-1)
-    u = graph.weight * m_star[graph.src]
+    u = graph.weight * m_star[graph.dst]
 
     ladder = lambda_ladder(lambda_start, lambda_end, lambda_reduction_factor)
     marginal_prev = None

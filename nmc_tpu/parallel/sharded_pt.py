@@ -239,7 +239,7 @@ class ShardedNPT:
                 u, g.dst, num_segments=self.n_pad)
             return jnp.tanh(beta * S), u, conv
 
-        u = g.weight.astype(h.dtype) * m_star[g.src]
+        u = g.weight.astype(h.dtype) * m_star[g.dst]
         marginal = jnp.zeros(self.n_pad, h.dtype)
         have_prev = jnp.bool_(False)
         for lam in self.ladder:

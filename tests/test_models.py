@@ -191,3 +191,59 @@ class TestICMRecord:
         # column must match the reported last-round trace resolution anyway
         e_rec = prob.energy(H[:, 0, : res.energy_trace.shape[1], :])
         np.testing.assert_allclose(e_rec, res.energy_trace, atol=1e-3)
+
+
+class TestTimeToSolution:
+    """target_energy early-stop instrumentation (the reference paper's
+    time-to-solution methodology, measured in-driver)."""
+
+    def test_npt_target_hit_stops_early(self):
+        prob = random_sk(10, seed=11)
+        norm, _ = prob.normalized()
+        _, gs = brute_force_gs(norm)
+        cfg = NPTConfig(num_sweeps_MCMC=4000, num_sweeps_read=4000,
+                        num_swap_attempts=40, num_swapping_pairs=1,
+                        block_size=16, record_last_round_m=False,
+                        target_energy=gs, target_atol=1e-9)
+        res = npt_run(prob, np.array([0.5, 1.0, 3.0]), [False] * 3, cfg,
+                      jax.random.PRNGKey(2))
+        assert res.hit_round is not None
+        assert res.hit_seconds > 0
+        assert res.rounds_completed == res.hit_round + 1
+        assert res.rounds_completed < 40      # N=10 SK is easy; stops early
+        assert res.min_energy <= gs + 1e-9
+
+    def test_npt_unreachable_target_runs_full_budget(self):
+        prob = random_sk(8, seed=12)
+        norm, _ = prob.normalized()
+        _, gs = brute_force_gs(norm)
+        cfg = NPTConfig(num_sweeps_MCMC=30, num_sweeps_read=30,
+                        num_swap_attempts=3, num_swapping_pairs=1,
+                        block_size=8, record_last_round_m=False,
+                        target_energy=gs - 10.0)
+        res = npt_run(prob, np.array([0.5, 2.0]), [False] * 2, cfg,
+                      jax.random.PRNGKey(2))
+        assert res.hit_round is None and res.hit_seconds is None
+        assert res.rounds_completed == 3
+
+    def test_npt_read_window_validated(self):
+        prob = random_sk(8, seed=13)
+        cfg = NPTConfig(num_sweeps_MCMC=30, num_sweeps_read=60,
+                        num_swap_attempts=3, block_size=8)
+        with pytest.raises(ValueError, match="num_sweeps_read"):
+            npt_run(prob, np.array([0.5, 2.0]), [False] * 2, cfg,
+                    jax.random.PRNGKey(0))
+
+    def test_icm_target_hit(self):
+        prob = random_sk(10, seed=14)
+        norm, _ = prob.normalized()
+        _, gs = brute_force_gs(norm)
+        cfg = APTICMConfig(num_sweeps_MCMC=2000, num_sweeps_read=2000,
+                           num_swap_attempts=20, num_subreplicas=4,
+                           block_size=16, normalize=True,
+                           target_energy=gs, target_atol=1e-9)
+        res = apt_icm_run(prob, np.array([0.5, 1.0, 3.0]), cfg,
+                          jax.random.PRNGKey(3))
+        assert res.hit_round is not None
+        assert res.rounds_completed == res.hit_round + 1
+        assert res.min_energy <= gs + 1e-9

@@ -144,3 +144,29 @@ class TestEvaluateCLI:
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["summary"]["num_instances"] == 2
         assert out["summary"]["hit_rate"] == 1.0
+
+
+class TestICMCheckpoint:
+    def test_icm_resume_matches_uninterrupted(self, tmp_path):
+        from nmc_tpu import APTICMConfig, apt_icm_run
+        prob = random_sk(10, seed=22)
+        beta_list = np.array([0.5, 1.0, 2.0])
+        ck = str(tmp_path / "icm.npz")
+        base = dict(num_sweeps_MCMC=60, num_sweeps_read=30,
+                    num_swap_attempts=6, num_swapping_pairs=1,
+                    num_subreplicas=4, block_size=16, normalize=True)
+        full = apt_icm_run(prob, beta_list, APTICMConfig(**base),
+                           jax.random.PRNGKey(5))
+        apt_icm_run(prob, beta_list,
+                    APTICMConfig(**base, checkpoint_path=ck,
+                                 checkpoint_every=3),
+                    jax.random.PRNGKey(5))
+        assert os.path.exists(ck)
+        resumed = apt_icm_run(prob, beta_list,
+                              APTICMConfig(**base, checkpoint_path=ck,
+                                           resume=True),
+                              jax.random.PRNGKey(5))
+        np.testing.assert_allclose(resumed.Energy, full.Energy)
+        np.testing.assert_allclose(resumed.min_energy, full.min_energy)
+        assert resumed.icm_moves == full.icm_moves
+        assert resumed.icm_flips == full.icm_flips
