@@ -60,6 +60,7 @@ class ShardedNPTConfig:
                              # spins: dense [N,N] messages blow memory)
     block_size: int = 128
     within_block: str = "sequential"
+    use_coloring: bool = False   # graph-colored blocks -> exact Jacobi updates
     precision: str = "highest"
     dtype: str = "float32"
 
@@ -70,6 +71,8 @@ class ShardedPTState(NamedTuple):
     slot_to_beta: jax.Array  # [R] replicated
     key: jax.Array           # replicated
     round_index: jax.Array   # scalar
+    m_best: jax.Array        # [R, n_pad] best-ever state per slot (sharded)
+    e_best: jax.Array        # [R] best-ever energy per slot (sharded)
 
 
 class RoundMetrics(NamedTuple):
@@ -110,8 +113,16 @@ class ShardedNPT:
 
         dtype = jnp.dtype(cfg.dtype)
         np_dtype = np.dtype(dtype.name)
+        groups = None
+        if cfg.use_coloring:
+            from ..ops.coloring import color_groups
+            groups = color_groups(problem.J)
         self.blocked = block_problem(problem, block_size=cfg.block_size,
-                                     dtype=np_dtype)
+                                     groups=groups, dtype=np_dtype)
+        if self.blocked.colored:
+            # colored layout makes the all-at-once block update exact Gibbs
+            cfg = dataclasses.replace(cfg, within_block="jacobi")
+            self.cfg = cfg
         b = self.blocked
         self.n_pad = b.n_pad
         # replicated problem data
@@ -152,9 +163,12 @@ class ShardedNPT:
         m = jnp.where(self.active, m, 1.0)
         m = jax.device_put(m, NamedSharding(self.mesh, P(self.axis, None)))
         ids = jnp.arange(self.R, dtype=jnp.int32)
+        e_best = jax.device_put(
+            jnp.full((self.R,), jnp.inf, self.h.dtype),
+            NamedSharding(self.mesh, P(self.axis)))
         return ShardedPTState(
             m=m, beta_to_slot=ids, slot_to_beta=ids, key=key,
-            round_index=jnp.int32(0),
+            round_index=jnp.int32(0), m_best=m, e_best=e_best,
         )
 
     # ------------------------------------------------------------------
@@ -267,7 +281,8 @@ class ShardedNPT:
                 record_m=False, precision=cfg.precision,
             )
 
-        def _round(m_local, beta_to_slot, slot_to_beta, key, round_index):
+        def _round(m_local, beta_to_slot, slot_to_beta, key, round_index,
+                   mb_local, eb_local):
             dev = lax.axis_index(axis)
             k_dev = jax.random.fold_in(jax.random.fold_in(key, round_index), dev)
             k_swap = jax.random.fold_in(jax.random.fold_in(key, round_index),
@@ -290,7 +305,12 @@ class ShardedNPT:
             else:
                 cl = act
 
-            e_last = None
+            def track_best(res):
+                nonlocal mb_local, eb_local
+                improved = res.e_best < eb_local
+                eb_local = jnp.where(improved, res.e_best, eb_local)
+                mb_local = jnp.where(improved[:, None], res.m_best, mb_local)
+
             for cycle in range(cfg.num_cycles):
                 k_dev, kc, knc, kall = jax.random.split(k_dev, 4)
                 # (C) heated clusters for NMC slots; plain sweeps otherwise
@@ -299,43 +319,57 @@ class ShardedNPT:
                 mask_c = jnp.where(do_nmc[:, None], cl & act, act)
                 res = phase(m_local, kc, base_row * heat, mask_c)
                 m_local = jnp.where(do_nmc[:, None], res.m_best, res.m)
+                track_best(res)
 
                 # (NC) frozen clusters for NMC slots
                 mask_nc = jnp.where(do_nmc[:, None], (~cl) & act, act)
                 res = phase(m_local, knc, base_row, mask_nc)
                 m_local = jnp.where(do_nmc[:, None], res.m_best, res.m)
+                track_best(res)
 
-                # (ALL)
+                # (ALL) — NMC slots restart from the phase argmin, exactly
+                # like nmc_subroutine (/root/reference/NMC/nmc.py:429-433)
                 if cycle % cfg.full_update_frequency == 0:
                     res = phase(m_local, kall, base_row, act)
-                    m_local = res.m
-                e_last = res.energies[-1]     # [R_local]
+                    m_local = jnp.where(do_nmc[:, None], res.m_best, res.m)
+                    track_best(res)
 
-            e_all = lax.all_gather(e_last, axis, tiled=True)       # [R]
+            # Swap energies must belong to the CARRIED states (the reference
+            # recomputes them from m_start, npt.py:657-668); after an
+            # m_best restart the last-sweep energy is stale, so recompute.
+            phi_c = jnp.matmul(m_local, self.J_full,
+                               precision=cfg.precision)
+            e_carried = -(0.5 * jnp.sum(m_local * phi_c, axis=-1)
+                          + jnp.sum(m_local * self.h, axis=-1))
+
+            e_all = lax.all_gather(e_carried, axis, tiled=True)    # [R]
             swap = metropolis_label_swap(
                 k_swap, beta_to_slot, self.beta_list.astype(jnp.float32),
                 e_all.astype(jnp.float32), num_pairs=cfg.num_swapping_pairs)
             metrics = RoundMetrics(slot_energies=e_all,
                                    accepted=swap.accepted, pairs=swap.pairs)
-            return (m_local, swap.beta_to_slot, swap.slot_to_beta, metrics)
+            return (m_local, swap.beta_to_slot, swap.slot_to_beta, metrics,
+                    mb_local, eb_local)
 
         shard_map = jax.shard_map
 
         smapped = shard_map(
             _round, mesh=self.mesh,
-            in_specs=(P(axis, None), P(), P(), P(), P()),
+            in_specs=(P(axis, None), P(), P(), P(), P(),
+                      P(axis, None), P(axis)),
             out_specs=(P(axis, None), P(), P(),
-                       RoundMetrics(P(), P(), P())),
+                       RoundMetrics(P(), P(), P()),
+                       P(axis, None), P(axis)),
             check_vma=False,
         )
 
         def round_fn(state: ShardedPTState):
-            m, b2s, s2b, metrics = smapped(
+            m, b2s, s2b, metrics, mb, eb = smapped(
                 state.m, state.beta_to_slot, state.slot_to_beta, state.key,
-                state.round_index)
+                state.round_index, state.m_best, state.e_best)
             new_state = ShardedPTState(
                 m=m, beta_to_slot=b2s, slot_to_beta=s2b, key=state.key,
-                round_index=state.round_index + 1)
+                round_index=state.round_index + 1, m_best=mb, e_best=eb)
             return new_state, metrics
 
         return round_fn
@@ -367,6 +401,13 @@ class ShardedNPT:
             self._scan_jit[num_rounds] = jax.jit(scanned)
         return self._scan_jit[num_rounds](state)
 
+    def best(self, state: ShardedPTState):
+        """(best-ever f32 energy, best state in ORIGINAL spin order), host."""
+        eb = np.asarray(state.e_best)
+        i = int(eb.argmin())
+        m = np.asarray(state.m_best)[i][np.asarray(self.blocked.inv_perm)]
+        return float(eb[i]), m
+
     def save(self, state: ShardedPTState, path: str) -> None:
         """Snapshot a sharded run (states gathered to host, npz)."""
         from ..utils.checkpoint import save_checkpoint
@@ -374,20 +415,25 @@ class ShardedNPT:
             m=np.asarray(state.m), beta_to_slot=np.asarray(state.beta_to_slot),
             slot_to_beta=np.asarray(state.slot_to_beta),
             key=np.asarray(state.key),
-            round_index=np.asarray(state.round_index)),
+            round_index=np.asarray(state.round_index),
+            m_best=np.asarray(state.m_best),
+            e_best=np.asarray(state.e_best)),
             step=int(state.round_index))
 
     def restore(self, path: str) -> ShardedPTState:
         from ..utils.checkpoint import load_checkpoint
         snap, _, _ = load_checkpoint(
             path, namedtuple_registry={"ShardedPTState": ShardedPTState})
-        m = jax.device_put(jnp.asarray(snap.m),
-                           NamedSharding(self.mesh, P(self.axis, None)))
+        sh = NamedSharding(self.mesh, P(self.axis, None))
         return ShardedPTState(
-            m=m, beta_to_slot=jnp.asarray(snap.beta_to_slot),
+            m=jax.device_put(jnp.asarray(snap.m), sh),
+            beta_to_slot=jnp.asarray(snap.beta_to_slot),
             slot_to_beta=jnp.asarray(snap.slot_to_beta),
             key=jnp.asarray(snap.key),
-            round_index=jnp.asarray(snap.round_index))
+            round_index=jnp.asarray(snap.round_index),
+            m_best=jax.device_put(jnp.asarray(snap.m_best), sh),
+            e_best=jax.device_put(jnp.asarray(snap.e_best),
+                                  NamedSharding(self.mesh, P(self.axis))))
 
     def states_by_temperature(self, state: ShardedPTState) -> np.ndarray:
         """Gather states ordered by temperature index [R, n] (host)."""
