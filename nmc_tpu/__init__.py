@@ -24,7 +24,8 @@ from .ops.lbp import (atanh_saturated, convexification_epsilon,
                       lbp_convexified, lbp_convexified_batch,
                       loopy_belief_propagation)
 from .ops.clusters import (cluster_mask, disagreement_clusters, find_clusters,
-                           flatten_clusters, houdayer_move_device)
+                           flatten_clusters, houdayer_move_device,
+                           houdayer_move_sparse)
 from .ops.lbp_sparse import EdgeGraph, sparse_lbp, sparse_lbp_convexified
 
 __version__ = "0.1.0"
@@ -42,5 +43,6 @@ __all__ = [
     "EdgeGraph", "sparse_lbp", "sparse_lbp_convexified",
     "find_clusters", "flatten_clusters", "cluster_mask",
     "disagreement_clusters", "houdayer_move_device",
+    "houdayer_move_sparse",
     "greedy_coloring", "color_groups", "num_colors",
 ]

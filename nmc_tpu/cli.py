@@ -140,7 +140,7 @@ def cmd_icm(args):
         num_sweeps_MCMC=args.sweeps, num_sweeps_read=args.sweeps_read,
         num_swap_attempts=args.swap_attempts,
         num_subreplicas=args.subreplicas, block_size=args.block_size,
-        use_coloring=args.coloring,
+        use_coloring=args.coloring, device_icm=args.device_icm,
     )
     res = apt_icm_run(prob, beta_list, cfg, jax.random.PRNGKey(args.seed))
     print(json.dumps({
@@ -254,6 +254,8 @@ def main(argv=None):
     p.add_argument("--sweeps-read", type=int, default=1000)
     p.add_argument("--swap-attempts", type=int, default=100)
     p.add_argument("--subreplicas", type=int, default=10)
+    p.add_argument("--device-icm", action="store_true", default=None,
+                   help="Houdayer moves on device (default: auto above 2048 spins)")
     p.set_defaults(fn=cmd_icm)
 
     p = sub.add_parser("evaluate",

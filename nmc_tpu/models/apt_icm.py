@@ -37,7 +37,7 @@ import numpy as np
 
 from ..core.problem import IsingProblem
 from ..ops.clusters import (disagreement_clusters_adj,
-                            houdayer_move_device)
+                            houdayer_move_sparse)
 from ..ops.engine import SweepEngine
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.metrics import MetricsLogger
@@ -56,10 +56,13 @@ class APTICMConfig:
     use_hash_table: bool = False   # parity no-op (docs/DEVIATIONS.md)
     faithful_quirks: bool = True   # see module docstring
     normalize: bool = False        # reference expects pre-normalized J, h
-    device_icm: bool = False       # Houdayer move fully on device (one
-                                   # vmapped call for all pairs; exact when
-                                   # icm_label_iters >= component diameter)
-    icm_label_iters: int = 64
+    device_icm: Optional[bool] = None  # Houdayer move fully on device (one
+                                   # vmapped call for all pairs; exact —
+                                   # label propagation runs to fixed point).
+                                   # None = auto: device above 2048 spins,
+                                   # host (native C++ union-find) below.
+    icm_label_iters: Optional[int] = None  # optional iteration CAP; None
+                                           # runs to the fixed point
     record_last_round_m: bool = False  # keep the last round's per-sweep
                                        # history (reference M layout)
     # TPU execution knobs
@@ -98,10 +101,12 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "use_katzgraber"))
-def _houdayer_batch(J, s1b, s2b, keys, *, num_iters, use_katzgraber):
+def _houdayer_batch(src, dst, s1b, s2b, keys, *, num_iters, use_katzgraber):
+    """All (replica, pair) Houdayer moves as ONE vmapped dispatch, using the
+    O(nnz) edge-list label propagation (no [N, N] adjacency per pair)."""
     return jax.vmap(
-        lambda a, b, k: houdayer_move_device(
-            J, a, b, k, num_iters=num_iters,
+        lambda a, b, k: houdayer_move_sparse(
+            src, dst, a, b, k, num_iters=num_iters,
             use_katzgraber=use_katzgraber)
     )(s1b, s2b, keys)
 
@@ -135,8 +140,15 @@ def apt_icm_run(
     m_start = np.asarray(
         engine.from_blocked(engine.init_states(k_init, R * S)), dtype=np.float64
     ).reshape(R, S, n)
-    from .. import native
-    adjacency = native.CSRAdjacency(norm_prob.J)  # built once, reused per move
+    device_icm = (cfg.device_icm if cfg.device_icm is not None
+                  else norm_prob.n > 2048)
+    if device_icm:
+        from ..ops.lbp_sparse import EdgeGraph
+        graph = EdgeGraph.from_dense(norm_prob.J)   # built once
+        adjacency = None
+    else:
+        from .. import native
+        adjacency = native.CSRAdjacency(norm_prob.J)  # built once
     host_rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel()[-1])
 
     # all R*S chains share one batched kernel; chain (r, s) runs at beta_list[r]
@@ -210,7 +222,7 @@ def apt_icm_run(
         icm_states = first_states if cfg.faithful_quirks else final_states
         touched = []
         pairings = [host_rng.permutation(S) for _ in range(R)]
-        if cfg.device_icm:
+        if device_icm:
             # one jitted vmapped call covering every (replica, pair)
             key, k_icm = jax.random.split(key)
             ridx, jidx, kidx = [], [], []
@@ -224,7 +236,7 @@ def apt_icm_run(
             s2b = jnp.asarray(icm_states[ridx, kidx], jnp.float32)
             keys = jax.random.split(k_icm, P)
             s1n, s2n, moved, flipped = _houdayer_batch(
-                jnp.asarray(norm_prob.J, jnp.float32), s1b, s2b, keys,
+                graph.src, graph.dst, s1b, s2b, keys,
                 num_iters=cfg.icm_label_iters,
                 use_katzgraber=cfg.use_katzgraber)
             icm_states[ridx, jidx] = np.asarray(s1n, np.float64)

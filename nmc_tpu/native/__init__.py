@@ -25,8 +25,16 @@ _TRIED = False
 
 
 def _build_dir() -> str:
-    d = os.environ.get("NMC_TPU_NATIVE_CACHE",
-                       os.path.join(_HERE, "_build"))
+    # Per-user cache OUTSIDE the package tree (a checkout may be read-only
+    # or shared across heterogeneous hosts), keyed by the host's CPU so an
+    # ISA-incompatible .so from another machine is never loaded.
+    import hashlib
+    import platform
+    host_key = hashlib.sha1(
+        f"{platform.machine()}:{platform.processor()}:{os.uname().nodename}"
+        .encode()).hexdigest()[:12]
+    d = os.environ.get("NMC_TPU_NATIVE_CACHE") or os.path.join(
+        os.path.expanduser("~/.cache/nmc_tpu_native"), host_key)
     os.makedirs(d, exist_ok=True)
     return d
 

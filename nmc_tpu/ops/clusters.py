@@ -134,33 +134,91 @@ def disagreement_clusters_adj(adj, s1, s2) -> List[np.ndarray]:
     return [diff[labels == c] for c in range(ncomp)]
 
 
+def _label_fixpoint(propagate, labels0, diff, n, max_iters):
+    """Run min-label propagation + pointer jumping to a FIXED POINT.
+
+    `propagate(labels) -> nbr_min` returns each node's minimum neighbor
+    label over the active subgraph. Pointer jumping (labels[labels])
+    halves label-chain lengths each step, so convergence is
+    O(log diameter) rounds; the while_loop exits at the first unchanged
+    round, making the result exact connected-component minima regardless
+    of graph shape (fixes the silent truncation of the old fixed-64-iter
+    scheme)."""
+    big = jnp.int32(n)
+
+    def step(state):
+        labels, _, it = state
+        nbr_min = propagate(labels)
+        new = jnp.where(diff, jnp.minimum(labels, nbr_min), big)
+        # pointer jumping: follow the label's own label (component minima
+        # only ever decrease, so this preserves exactness)
+        safe = jnp.minimum(new, jnp.int32(n - 1))
+        jumped = jnp.where(new < big, new[safe], big)
+        new = jnp.minimum(new, jumped)
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, step, (labels0, jnp.bool_(True), jnp.int32(0)))
+    return labels
+
+
 def disagreement_labels_device(
-    J: jax.Array, s1: jax.Array, s2: jax.Array, num_iters: int = 32
+    J: jax.Array, s1: jax.Array, s2: jax.Array,
+    num_iters: Optional[int] = None,
 ) -> jax.Array:
-    """Device-side min-label propagation over the disagreement subgraph.
+    """Device-side min-label propagation over the disagreement subgraph
+    (dense adjacency — small/medium N; see disagreement_labels_sparse for
+    the edge-list variant that scales past dense [N, N] materialization).
 
     Returns labels [N]: spins agreeing get N; disagreeing spins get the
-    minimum disagreeing spin index reachable within `num_iters` hops of
-    their component (exact when num_iters >= component diameter). Keeps the
-    Houdayer move jittable for large N where host BFS would bottleneck.
+    minimum spin index of their disagreement component. Runs to a fixed
+    point (exact); `num_iters` only caps the loop (None = N, the
+    worst-case bound).
     """
     n = s1.shape[0]
     adj = (J != 0)
     diff = (s1 * s2) < 0
     idx = jnp.arange(n, dtype=jnp.int32)
     labels0 = jnp.where(diff, idx, jnp.int32(n))
-
     adj_diff = adj & diff[None, :] & diff[:, None]
+    big = jnp.int32(n)
 
-    def body(_, labels):
-        big = jnp.int32(n)
-        nbr_min = jnp.min(jnp.where(adj_diff, labels[None, :], big), axis=1)
-        return jnp.where(diff, jnp.minimum(labels, nbr_min), big)
+    def propagate(labels):
+        return jnp.min(jnp.where(adj_diff, labels[None, :], big), axis=1)
 
-    return jax.lax.fori_loop(0, num_iters, body, labels0)
+    return _label_fixpoint(propagate, labels0, diff, n,
+                           n if num_iters is None else num_iters)
 
 
-def houdayer_move_device(J, s1, s2, key, *, num_iters: int = 64,
+def disagreement_labels_sparse(
+    src: jax.Array, dst: jax.Array, s1: jax.Array, s2: jax.Array,
+    *, num_nodes: int, num_iters: Optional[int] = None,
+) -> jax.Array:
+    """Edge-list variant of disagreement_labels_device: O(nnz) per round
+    with segment-min reductions, no [N, N] materialization — the scalable
+    path for the Houdayer move at large N
+    (/root/reference/NPT/apt_ICM.py:116-143 semantics)."""
+    n = num_nodes
+    diff = (s1 * s2) < 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    labels0 = jnp.where(diff, idx, jnp.int32(n))
+    edge_active = diff[src] & diff[dst]
+    big = jnp.int32(n)
+
+    def propagate(labels):
+        cand = jnp.where(edge_active, labels[src], big)
+        return jax.ops.segment_min(cand, dst, num_segments=n)
+
+    return _label_fixpoint(propagate, labels0, diff, n,
+                           n if num_iters is None else num_iters)
+
+
+def houdayer_move_device(J, s1, s2, key, *, num_iters: Optional[int] = None,
                          use_katzgraber: bool = True,
                          katzgraber_threshold: Optional[int] = None):
     """One Houdayer move fully on device (jittable, vmappable over pairs).
@@ -171,12 +229,33 @@ def houdayer_move_device(J, s1, s2, key, *, num_iters: int = 64,
     matching the reference's random.choice over the cluster list,
     /root/reference/NPT/apt_ICM.py:233), exchanges it between partners —
     or flips all of s1 when the cluster exceeds N//2 spins (Katzgraber,
-    apt_ICM.py:236-240). Exact when num_iters >= component diameter.
+    apt_ICM.py:236-240). Exact: labels run to their fixed point.
 
     Returns (s1', s2', moved: bool, flipped: bool).
     """
-    n = s1.shape[0]
     labels = disagreement_labels_device(J, s1, s2, num_iters=num_iters)
+    return _houdayer_from_labels(labels, s1, s2, key,
+                                 use_katzgraber=use_katzgraber,
+                                 katzgraber_threshold=katzgraber_threshold)
+
+
+def houdayer_move_sparse(src, dst, s1, s2, key, *,
+                         num_iters: Optional[int] = None,
+                         use_katzgraber: bool = True,
+                         katzgraber_threshold: Optional[int] = None):
+    """Houdayer move over an edge list (O(nnz) label propagation) — the
+    large-N device path; same move semantics as houdayer_move_device."""
+    labels = disagreement_labels_sparse(src, dst, s1, s2,
+                                        num_nodes=s1.shape[0],
+                                        num_iters=num_iters)
+    return _houdayer_from_labels(labels, s1, s2, key,
+                                 use_katzgraber=use_katzgraber,
+                                 katzgraber_threshold=katzgraber_threshold)
+
+
+def _houdayer_from_labels(labels, s1, s2, key, *, use_katzgraber: bool,
+                          katzgraber_threshold: Optional[int]):
+    n = s1.shape[0]
     any_diff = jnp.any(labels < n)
     is_root = labels == jnp.arange(n)          # component representatives
     g = jax.random.uniform(key, (n,))

@@ -61,3 +61,62 @@ def test_empty_active_set(rng):
     adj = native.CSRAdjacency(J)
     s = np.ones(10)
     assert disagreement_clusters_adj(adj, s, s) == []
+
+
+class TestDeviceLabels:
+    """Exactness of the device label propagation (sparse and dense) vs
+    host connected components, at chimera-512 scale (VERDICT round 1 #6)."""
+
+    def _chimera_like(self, seed):
+        from nmc_tpu.io.generators import chimera_graph
+        return chimera_graph(8, 8, 4, seed=seed)   # N = 512
+
+    def test_sparse_labels_match_host_components(self):
+        import jax.numpy as jnp
+        from nmc_tpu.ops.clusters import (disagreement_clusters,
+                                          disagreement_labels_sparse)
+        from nmc_tpu.ops.lbp_sparse import EdgeGraph
+        prob = self._chimera_like(0)
+        rng = np.random.default_rng(1)
+        s1 = rng.choice([-1.0, 1.0], prob.n)
+        # flip a contiguous-ish patch to build long disagreement chains
+        s2 = s1.copy()
+        flip = rng.random(prob.n) < 0.45
+        s2[flip] = -s2[flip]
+        g = EdgeGraph.from_dense(prob.J)
+        labels = np.asarray(disagreement_labels_sparse(
+            g.src, g.dst, jnp.asarray(s1, jnp.float32),
+            jnp.asarray(s2, jnp.float32), num_nodes=prob.n))
+        comps = disagreement_clusters(prob.J, s1, s2)
+        # each host component must map to ONE device label == its min index
+        seen = set()
+        for c in comps:
+            lab = set(labels[c].tolist())
+            assert lab == {int(c.min())}, f"component split: {lab}"
+            seen.update(lab)
+        # agreeing spins labelled n
+        agree = np.flatnonzero(s1 * s2 > 0)
+        assert np.all(labels[agree] == prob.n)
+        # number of distinct component labels matches
+        assert len(seen) == len(comps)
+
+    def test_dense_labels_match_sparse(self):
+        import jax.numpy as jnp
+        from nmc_tpu.ops.clusters import (disagreement_labels_device,
+                                          disagreement_labels_sparse)
+        from nmc_tpu.ops.lbp_sparse import EdgeGraph
+        from nmc_tpu.io.generators import ea_2d as random_ea2d
+        prob = random_ea2d(12, seed=3)   # N = 144, 4-regular: long paths
+        rng = np.random.default_rng(4)
+        s1 = rng.choice([-1.0, 1.0], prob.n)
+        s2 = s1.copy()
+        flip = rng.random(prob.n) < 0.5
+        s2[flip] = -s2[flip]
+        g = EdgeGraph.from_dense(prob.J)
+        dense = np.asarray(disagreement_labels_device(
+            jnp.asarray(prob.J, jnp.float32), jnp.asarray(s1, jnp.float32),
+            jnp.asarray(s2, jnp.float32)))
+        sparse = np.asarray(disagreement_labels_sparse(
+            g.src, g.dst, jnp.asarray(s1, jnp.float32),
+            jnp.asarray(s2, jnp.float32), num_nodes=prob.n))
+        np.testing.assert_array_equal(dense, sparse)
