@@ -186,6 +186,11 @@ def cmd_generate(args):
     elif kind == "contrived":
         prob, t, gs = generators.contrived_wishart_backbone(
             args.n, args.alpha, seed=args.seed)
+    elif kind == "contrived-ref":
+        # reference-faithful pipeline (contrived_instance_generator.py)
+        prob = generators.contrived_wishart_backbone_reference(
+            args.n, alpha=args.alpha, seed=args.seed)
+        gs = None
     else:
         raise SystemExit(f"unknown kind {kind}")
     writers.save_edgelist(args.out, prob)
@@ -278,7 +283,8 @@ def main(argv=None):
 
     p = sub.add_parser("generate", help="write benchmark instances")
     p.add_argument("--kind", required=True,
-                   choices=["sk", "ea2d", "ea3d", "wishart", "contrived"])
+                   choices=["sk", "ea2d", "ea3d", "wishart", "contrived",
+                            "contrived-ref"])
     p.add_argument("--n", type=int, default=100)
     p.add_argument("--L", type=int, default=8)
     p.add_argument("--alpha", type=float, default=0.5)

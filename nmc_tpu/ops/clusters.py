@@ -90,6 +90,43 @@ def cluster_mask(n: int, clusters: List[np.ndarray] | np.ndarray) -> np.ndarray:
     return mask
 
 
+def backbone_mask_device(
+    marginal: jax.Array,      # [..., N] LBP marginals
+    J_abs: jax.Array,         # [N, N] |J| (or any nonneg matrix with J's sparsity)
+    threshold_initial: float,
+    threshold_cutoff: float,
+    threshold_step: float = 0.01,
+    active: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Device-side flat backbone mask with the reference's threshold-decay
+    growth (/root/reference/NMC/nmc.py:299-316), batched over leading axes.
+
+    The reference's pass at threshold t absorbs, for each cluster in turn,
+    its yet-unclaimed neighbors with |marginal| >= t; absorbed spins only
+    become absorption SOURCES on the next pass. On the flattened member
+    set that is exactly ONE masked adjacency propagation per threshold
+    rung: mask |= neighbor(mask) & (|m| >= t). The rung ladder
+    (initial - step, ..., > cutoff) is static Python, so the whole growth
+    unrolls inside jit. With the shipped defaults the ladder is empty and
+    the mask reduces to pure thresholding — the same no-op quirk as the
+    host path (SURVEY.md quirk 2). Flat-mask parity with
+    find_clusters is tested at non-default cutoffs in tests/test_lbp.py.
+    """
+    mag = jnp.abs(marginal)
+    mask = mag >= threshold_initial
+    if active is not None:
+        mask = mask & active
+    thr = threshold_initial - threshold_step
+    while thr > threshold_cutoff:
+        cand = mag >= thr
+        if active is not None:
+            cand = cand & active
+        nbr = jnp.matmul(mask.astype(J_abs.dtype), J_abs) > 0
+        mask = mask | (nbr & cand)
+        thr -= threshold_step
+    return mask
+
+
 def disagreement_clusters(
     J: np.ndarray, s1: np.ndarray, s2: np.ndarray
 ) -> List[np.ndarray]:

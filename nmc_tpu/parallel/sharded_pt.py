@@ -13,11 +13,12 @@ parallel/swaps.py. States never cross the ICI.
 Faithfulness notes (vs models/npt.py, the exact single-host path):
   * NMC replicas run at global_beta (quirk preserved, npt.py:126).
   * Backbone masks come from thresholding LBP marginals at
-    threshold_initial. With the reference's shipped thresholds the
-    cluster-growth loop is a no-op and the flat cluster set equals exactly
-    {i : |marginal_i| >= threshold_initial} (see SURVEY.md quirk 2), so the
-    device-side mask is exact; non-default cutoffs that would grow clusters
-    are a documented deviation for this path.
+    threshold_initial followed by the reference's threshold-decay growth
+    (ops/clusters.backbone_mask_device: one masked adjacency propagation
+    per static threshold rung). With the shipped defaults the rung ladder
+    is empty and the mask reduces to pure thresholding, exactly like the
+    host path (SURVEY.md quirk 2); non-default cutoffs now grow clusters
+    with flat-mask parity to find_clusters.
   * The lambda ladder runs fully inside jit; the reference's
     divergence-fallback (reuse previous marginal) is applied per rung with
     a where() instead of early exit.
@@ -51,6 +52,8 @@ class ShardedNPTConfig:
     global_beta: float = 2.5
     temp_x: float = 20.0
     threshold_initial: float = 0.999999
+    threshold_cutoff: float = 0.99999
+    threshold_step: float = 0.01
     lambda_start: float = 3.0
     lambda_end: float = 0.01
     lambda_reduction_factor: float = 0.5   # short ladder: jit-friendly default
@@ -298,10 +301,16 @@ class ShardedNPT:
             act = jnp.broadcast_to(self.active, (R_local, n_pad))
 
             if self.any_nmc:
+                from ..ops.clusters import backbone_mask_device
                 lbp_fn = (self._lbp_marginal_sparse if self.lbp_sparse
                           else self._lbp_marginal)
                 marg = jax.vmap(lbp_fn)(m_local)
-                cl = (jnp.abs(marg) >= cfg.threshold_initial) & act
+                # threshold seeds + the reference's threshold-decay growth
+                # (one masked adjacency propagation per rung; a no-op with
+                # the shipped defaults, exactly like the host path)
+                cl = backbone_mask_device(
+                    marg, jnp.abs(self.J_full), cfg.threshold_initial,
+                    cfg.threshold_cutoff, cfg.threshold_step, active=act)
             else:
                 cl = act
 
