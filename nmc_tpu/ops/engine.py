@@ -124,6 +124,23 @@ class SweepEngine:
         return local_fields(self.J_full, self.h, m_blocked,
                             precision=self.precision)
 
+    def _streamed_fits(self, R, has_bs, has_mask, num_sweeps,
+                       budget=14 * 2 ** 20) -> bool:
+        """Estimate the streaming kernels' VMEM footprint (states + J
+        double buffer + per-sweep energies) against a ~14 MiB budget —
+        replaces the previous hard n_pad <= 12288 cap and extends Pallas
+        coverage to whatever (n_pad, R, masks) combination actually fits."""
+        r_tile = 128 if R % 128 == 0 else R
+        n_state = 3 + (1 if has_bs else 0) + (1 if has_mask else 0)
+        b = n_state * r_tile * self.n_pad * 4
+        if self._stream_tiles is not None:
+            col_idx, J_tiles = self._stream_tiles
+            b += 2 * int(np.prod(J_tiles.shape[1:])) * J_tiles.dtype.itemsize
+        else:
+            b += 2 * self.blocked.block_size * self.n_pad * 4
+        b += num_sweeps * r_tile * 4 + 2 * self.n_pad * 4
+        return b < budget
+
     # ---- main entry ------------------------------------------------------
     def run(
         self,
@@ -194,12 +211,15 @@ class SweepEngine:
             and jax.devices()[0].platform == "tpu"
         )
         # J must fit VMEM alongside the state tiles (~16 MB budget) for the
-        # resident kernel; beyond that the HBM-streaming kernel covers the
-        # plain-PT shape (per-replica beta, no per-spin masks/heating)
+        # resident kernel; beyond that the HBM-streaming kernels cover the
+        # full phase parametrization (per-replica beta, per-chain masks,
+        # per-spin heating) up to whatever n_pad the VMEM estimate admits
+        has_bs = beta_spin is not None
+        has_mask = update_mask is not None
         use_pallas = pallas_ok and self.n_pad <= 1536
         use_streamed = (
-            pallas_ok and self.n_pad > 1536 and self.n_pad <= 12288
-            and update_mask is None and beta_spin is None
+            pallas_ok and self.n_pad > 1536
+            and self._streamed_fits(R, has_bs, has_mask, num_sweeps)
         )
         if self.backend == "pallas" and not (use_pallas or use_streamed):
             raise ValueError(
@@ -209,22 +229,26 @@ class SweepEngine:
             from .sweeps_pallas import (pallas_colored_sweeps_sparse,
                                         pallas_colored_sweeps_streamed)
 
-            seed = jnp.int32(
-                jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max))
+            seed = jax.random.randint(key, (2,), 0,
+                                      jnp.iinfo(jnp.int32).max, jnp.int32)
             beta_row = (jnp.asarray(beta_replica, jnp.float32).reshape(R)
                         if beta_replica is not None
                         else jnp.ones((R,), jnp.float32))
+            bs_arg = (jnp.broadcast_to(bs, (R, self.n_pad))
+                      if has_bs else None)
+            mask_arg = (mask.astype(jnp.float32) if has_mask
+                        else self.active.reshape(1, self.n_pad))
             if self._stream_tiles is not None:
                 col_idx, J_tiles = self._stream_tiles
                 pres = pallas_colored_sweeps_sparse(
                     col_idx, J_tiles, self.h, m0, phi, seed, beta_sweep,
-                    beta_row, self.active, num_sweeps=num_sweeps,
+                    beta_row, mask_arg, bs_arg, num_sweeps=num_sweeps,
                     block_size=self.blocked.block_size,
                 )
             else:
                 pres = pallas_colored_sweeps_streamed(
                     self.J_rows, self.h, m0, phi, seed, beta_sweep, beta_row,
-                    self.active, num_sweeps=num_sweeps,
+                    mask_arg, bs_arg, num_sweeps=num_sweeps,
                     block_size=self.blocked.block_size,
                 )
             res = SweepResult(m=pres.m, phi=pres.phi, m_best=pres.m_best,

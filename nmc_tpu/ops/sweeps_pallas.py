@@ -39,6 +39,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _seed2(seed):
+    """Normalize a seed (scalar or [2] int32) to TWO int32 words: the
+    kernels seed the in-core PRNG with (word0 + grid_index, word1), a
+    62-bit space, so long campaigns cannot birthday-collide sweep-batch
+    streams the way a single 31-bit draw could (ADVICE round 1 #3)."""
+    s = jnp.asarray(seed, jnp.int32).reshape(-1)
+    if s.shape[0] < 2:
+        s = jnp.concatenate([s, jnp.zeros(2 - s.shape[0], jnp.int32)])
+    return s[:2]
+
+
 class PallasSweepResult(NamedTuple):
     m: jax.Array         # [R, n_pad]
     phi: jax.Array       # [R, n_pad]
@@ -52,7 +63,7 @@ def _kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
             J_ref, h_ref, bs_ref, mask_ref, m_in_ref, phi_in_ref,   # VMEM in
             m_ref, phi_ref, mbest_ref, ebest_ref, e_ref):            # VMEM out
     g = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + g)
+    pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
 
     m_ref[:] = m_in_ref[:]
     phi_ref[:] = phi_in_ref[:]
@@ -168,7 +179,7 @@ def pallas_colored_sweeps(
         # TPU-semantics interpreter (pltpu primitives work on CPU)
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
-        jnp.asarray([seed], jnp.int32),
+        _seed2(seed),
         jnp.broadcast_to(jnp.asarray(beta_sweep, jnp.float32), (num_sweeps,)),
         jnp.asarray(J, jnp.float32),
         jnp.asarray(h, jnp.float32),
@@ -182,13 +193,14 @@ def pallas_colored_sweeps(
 
 
 def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
+                     bs_full,
                      seed_ref, beta_sweep_ref,                  # SMEM
-                     J_hbm_ref, h_ref, beta_row_ref, active_ref,
+                     J_hbm_ref, h_ref, beta_row_ref, bs_ref, mask_ref,
                      m_in_ref, phi_in_ref,                       # aliased io
                      m_ref, phi_ref, mbest_ref, ebest_ref, e_ref,  # outputs
                      jbuf, sems):                                # scratch
     g = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + g)
+    pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
 
     # m_in/phi_in are ALIASED to m/phi (input_output_aliases): the state
     # buffers arrive initialized, no copy and no duplicate VMEM blocks
@@ -225,11 +237,12 @@ def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
 
         xb = phi_ref[:, pl.ds(s, B)]
         mb = m_ref[:, pl.ds(s, B)]
-        betab = beta_t * beta_row_ref[:]                 # [R_t, 1]
-        actb = active_ref[:, pl.ds(s, B)]                # [1, B]
+        bsb = bs_ref[:, pl.ds(s, B)] if bs_full else bs_ref[:]
+        betab = beta_t * beta_row_ref[:] * bsb           # [R_t, B] | [R_t, 1]
+        maskb = mask_ref[:, pl.ds(s, B)]                 # [1|R_t, B]
         p_up = 0.5 * (1.0 + jnp.tanh(betab * xb))
         new = jnp.where(u < p_up, 1.0, -1.0).astype(jnp.float32)
-        new = jnp.where(actb > 0, new, mb)
+        new = jnp.where(maskb > 0, new, mb)
         dm = new - mb
         # dm values are exactly representable in the J buffer dtype
         phi_ref[:] = phi_ref[:] + jnp.dot(
@@ -263,7 +276,8 @@ def pallas_colored_sweeps_streamed(
     seed,
     beta_sweep,   # [T] or scalar
     beta_row,     # [R] per-replica beta multiplier
-    active,       # [n_pad] bool
+    mask,         # [1, n_pad] activity, or [R, n_pad] per-chain NMC mask
+    beta_spin=None,  # [R, n_pad] per-spin beta multiplier (NMC heating)
     *,
     num_sweeps: int,
     block_size: int = 128,
@@ -271,9 +285,9 @@ def pallas_colored_sweeps_streamed(
 ) -> PallasSweepResult:
     """Colored multi-sweep kernel for J too large for VMEM: states stay
     VMEM-resident for all sweeps, J row-blocks double-buffer from HBM
-    (2 x [B, n_pad] buffers), per-replica beta + global active mask.
-    Covers the plain-PT production case at n ~ 10^4; phase masks (NMC)
-    use the XLA path. Pass J_blocks as bfloat16 to halve DMA traffic and
+    (2 x [B, n_pad] buffers), per-replica beta, per-chain update masks and
+    per-spin beta multipliers — the full NMC phase parametrization at
+    streaming scale. Pass J_blocks as bfloat16 to halve DMA traffic and
     double MXU throughput (phi accumulates in float32 regardless)."""
     nB, B, n_pad = J_blocks.shape
     j_dtype = J_blocks.dtype
@@ -281,10 +295,26 @@ def pallas_colored_sweeps_streamed(
     if R % r_tile or (r_tile % 128 and r_tile != R):
         r_tile = R
     grid = (R // r_tile,)
+    vm = pltpu.VMEM
+    mask = jnp.asarray(mask, jnp.float32)
+    mask_rows = mask.shape[0] if mask.ndim == 2 else 1
+    mask = mask.reshape(mask_rows, n_pad)
+    bs_full = beta_spin is not None
+    if bs_full:
+        bs = jnp.asarray(beta_spin, jnp.float32).reshape(R, n_pad)
+        bs_spec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
+                               memory_space=vm)
+    else:
+        bs = jnp.ones((R, 1), jnp.float32)
+        bs_spec = pl.BlockSpec((r_tile, 1), lambda g, *_: (g, 0),
+                               memory_space=vm)
+    mask_spec = (pl.BlockSpec((1, n_pad), lambda g, *_: (0, 0),
+                              memory_space=vm) if mask_rows == 1 else
+                 pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
+                              memory_space=vm))
 
     kern = functools.partial(_streamed_kernel, num_sweeps, nB, B, r_tile,
-                             n_pad)
-    vm = pltpu.VMEM
+                             n_pad, bs_full)
     rspec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
                          memory_space=vm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -296,8 +326,8 @@ def pallas_colored_sweeps_streamed(
                          memory_space=vm),                          # h
             pl.BlockSpec((r_tile, 1), lambda g, *_: (g, 0),
                          memory_space=vm),                          # beta_row
-            pl.BlockSpec((1, n_pad), lambda g, *_: (0, 0),
-                         memory_space=vm),                          # active
+            bs_spec,                                                # beta_spin
+            mask_spec,                                              # mask
             rspec, rspec,                                           # m0, phi0
         ],
         out_specs=(
@@ -322,15 +352,16 @@ def pallas_colored_sweeps_streamed(
     m, phi, m_best, e_best, energies = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
         # operand indices count the scalar-prefetch args too:
-        # 0:seed 1:beta_sweep 2:J 3:h 4:beta_row 5:active 6:m0 7:phi0
-        input_output_aliases={6: 0, 7: 1},
+        # 0:seed 1:beta_sweep 2:J 3:h 4:beta_row 5:bs 6:mask 7:m0 8:phi0
+        input_output_aliases={7: 0, 8: 1},
     )(
-        jnp.asarray([seed], jnp.int32),
+        _seed2(seed),
         jnp.broadcast_to(jnp.asarray(beta_sweep, jnp.float32), (num_sweeps,)),
         jnp.asarray(J_blocks),
         jnp.asarray(h, jnp.float32),
         jnp.asarray(beta_row, jnp.float32).reshape(R, 1),
-        jnp.asarray(active, jnp.float32).reshape(1, n_pad),
+        bs,
+        mask,
         jnp.asarray(m0, jnp.float32),
         jnp.asarray(phi0, jnp.float32),
     )
@@ -339,14 +370,17 @@ def pallas_colored_sweeps_streamed(
 
 
 def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
-                            r_tile, n_pad,
+                            r_tile, n_pad, bs_full,
                             seed_ref, beta_sweep_ref, col_idx_ref,   # SMEM
-                            J_tiles_hbm_ref, h_ref, beta_row_ref, active_ref,
+                            J_tiles_hbm_ref, h_ref, beta_row_ref, bs_ref,
+                            mask_ref,
                             m_in_ref, phi_in_ref,                     # aliased
                             m_ref, phi_ref, mbest_ref, ebest_ref, e_ref,
                             tbuf, sems):                              # scratch
     g = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + g)
+    # 62-bit seed (two int32 words) so long runs cannot birthday-collide
+    # sweep-batch streams the way a single 31-bit draw could
+    pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
 
     mbest_ref[:] = m_ref[:]
     ebest_ref[:] = jnp.full((r_tile, 1), jnp.inf, jnp.float32)
@@ -383,11 +417,16 @@ def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
 
         xb = phi_ref[:, pl.ds(s, B)]
         mb = m_ref[:, pl.ds(s, B)]
-        betab = beta_t * beta_row_ref[:]
-        actb = active_ref[:, pl.ds(s, B)]
+        # per-spin beta multiplier (NMC heated clusters) when present:
+        # bs_ref is [R_t, n_pad]; otherwise a [R_t, 1] broadcast
+        bsb = bs_ref[:, pl.ds(s, B)] if bs_full else bs_ref[:]
+        betab = beta_t * beta_row_ref[:] * bsb
+        # mask combines the padding-activity mask with any NMC update mask
+        # ([1, n_pad] when replica-uniform, [R_t, n_pad] when per-chain)
+        maskb = mask_ref[:, pl.ds(s, B)]
         p_up = 0.5 * (1.0 + jnp.tanh(betab * xb))
         new = jnp.where(u < p_up, 1.0, -1.0).astype(jnp.float32)
-        new = jnp.where(actb > 0, new, mb)
+        new = jnp.where(maskb > 0, new, mb)
         dm = new - mb
         m_ref[:, pl.ds(s, B)] = new
         # phi update over the nonzero column tiles only (zero-padded tiles
@@ -420,7 +459,8 @@ def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
 def pallas_colored_sweeps_sparse(
     col_idx,      # [nB, K] int32 nonzero column-tile indices per row block
     J_tiles,      # [nB, K, B, B] (f32 or bf16), stays in HBM
-    h, m0, phi0, seed, beta_sweep, beta_row, active,
+    h, m0, phi0, seed, beta_sweep, beta_row, mask,
+    beta_spin=None,   # [R, n_pad] per-spin beta multiplier (NMC heating)
     *,
     num_sweeps: int,
     block_size: int = 128,
@@ -430,21 +470,44 @@ def pallas_colored_sweeps_sparse(
     nonzero [B, B] column tiles of J are DMA'd and multiplied — cuts both
     HBM traffic and MACs by ~num_blocks/K on sparse topologies, with the
     tile loop fused in VMEM (the XLA-level tile loop measured slower due
-    to dynamic-update-slice copies; see docs/BENCHMARKS.md)."""
+    to dynamic-update-slice copies; see docs/BENCHMARKS.md).
+
+    `mask` is [1, n_pad] (padding/activity only) or [R, n_pad] (per-chain
+    NMC frozen-spin masks ANDed with activity); `beta_spin` enables the
+    heated-cluster phase — together they run the NMC C/NC phases
+    (/root/reference/NMC/nmc.py:377-406) at sparse-streaming speed."""
     nB, K, B, _ = J_tiles.shape
     n_pad = m0.shape[1]
     R = m0.shape[0]
     if R % r_tile or (r_tile % 128 and r_tile != R):
         r_tile = R
     grid = (R // r_tile,)
+    mask = jnp.asarray(mask, jnp.float32)
+    mask_rows = mask.shape[0] if mask.ndim == 2 else 1
+    mask = mask.reshape(mask_rows, n_pad)
+    bs_full = beta_spin is not None
+    if bs_full:
+        bs = jnp.asarray(beta_spin, jnp.float32).reshape(R, n_pad)
+        bs_spec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        bs = jnp.ones((R, 1), jnp.float32)
+        bs_spec = pl.BlockSpec((r_tile, 1), lambda g, *_: (g, 0),
+                               memory_space=pltpu.VMEM)
+    if mask_rows == 1:
+        mask_spec = pl.BlockSpec((1, n_pad), lambda g, *_: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
+                                 memory_space=pltpu.VMEM)
 
     kern = functools.partial(_sparse_streamed_kernel, num_sweeps, nB, B, K,
-                             r_tile, n_pad)
+                             r_tile, n_pad, bs_full)
     vm = pltpu.VMEM
     rspec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
                          memory_space=vm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # seed, beta_sweep, col_idx (flat)
+        num_scalar_prefetch=3,   # seed (2 words), beta_sweep, col_idx (flat)
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),                    # tiles
@@ -452,8 +515,8 @@ def pallas_colored_sweeps_sparse(
                          memory_space=vm),                           # h
             pl.BlockSpec((r_tile, 1), lambda g, *_: (g, 0),
                          memory_space=vm),                           # beta
-            pl.BlockSpec((1, n_pad), lambda g, *_: (0, 0),
-                         memory_space=vm),                           # active
+            bs_spec,                                                 # beta_spin
+            mask_spec,                                               # mask
             rspec, rspec,                                            # m, phi
         ],
         out_specs=(
@@ -477,16 +540,18 @@ def pallas_colored_sweeps_sparse(
     )
     m, phi, m_best, e_best, energies = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
-        # 0:seed 1:beta_sweep 2:col_idx 3:tiles 4:h 5:beta 6:active 7:m 8:phi
-        input_output_aliases={7: 0, 8: 1},
+        # 0:seed 1:beta_sweep 2:col_idx 3:tiles 4:h 5:beta 6:bs 7:mask
+        # 8:m 9:phi
+        input_output_aliases={8: 0, 9: 1},
     )(
-        jnp.asarray([seed], jnp.int32),
+        _seed2(seed),
         jnp.broadcast_to(jnp.asarray(beta_sweep, jnp.float32), (num_sweeps,)),
         jnp.asarray(col_idx, jnp.int32).reshape(-1),
         jnp.asarray(J_tiles),
         jnp.asarray(h, jnp.float32),
         jnp.asarray(beta_row, jnp.float32).reshape(R, 1),
-        jnp.asarray(active, jnp.float32).reshape(1, n_pad),
+        bs,
+        mask,
         jnp.asarray(m0, jnp.float32),
         jnp.asarray(phi0, jnp.float32),
     )

@@ -146,3 +146,66 @@ def test_sparse_streamed_kernel_invariants_tpu(rng):
     Jf = np.asarray(b.J_rows.reshape(b.n_pad, b.n_pad))
     np.testing.assert_allclose(np.asarray(res.phi),
                                m @ Jf + np.asarray(h), atol=1e-3)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="sparse streaming kernel is TPU-only")
+def test_sparse_streamed_masked_heated_tpu(rng):
+    """NMC phase parametrization on the sparse streaming kernel: per-chain
+    frozen spins must not move, per-spin heating runs, phi stays exact
+    (VERDICT round 1 #2/#3)."""
+    from nmc_tpu.core.problem import block_sparse_tiles
+    from nmc_tpu.ops.sweeps_pallas import pallas_colored_sweeps_sparse
+    prob = ea_2d(16, seed=0)
+    b, J, h, m0, phi0, _ = _setup(prob, R=8, block_size=128)
+    col_idx, J_tiles = block_sparse_tiles(b)
+    mask = (rng.random((8, b.n_pad)) < 0.5) & np.asarray(b.active)
+    bs = np.where(mask, 1.0 / 20.0, 1.0).astype(np.float32)  # heated clusters
+    res = pallas_colored_sweeps_sparse(
+        col_idx, J_tiles, h, m0, phi0, 42, np.full(12, 2.0, np.float32),
+        np.ones(8, np.float32), mask.astype(np.float32), bs,
+        num_sweeps=12, block_size=128, r_tile=8)
+    m = np.asarray(res.m)
+    m0h = np.asarray(m0)
+    np.testing.assert_array_equal(m[~mask], m0h[~mask])   # frozen spins held
+    assert (m[mask] != m0h[mask]).any()                   # heated spins move
+    Jf = np.asarray(b.J_rows.reshape(b.n_pad, b.n_pad))
+    np.testing.assert_allclose(np.asarray(res.phi), m @ Jf + np.asarray(h),
+                               atol=1e-3)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="streaming kernel is TPU-only")
+def test_streamed_masked_heated_tpu(rng):
+    from nmc_tpu.ops.sweeps_pallas import pallas_colored_sweeps_streamed
+    prob = ea_2d(16, seed=0)
+    b, J, h, m0, phi0, _ = _setup(prob, R=8, block_size=128)
+    mask = (rng.random((8, b.n_pad)) < 0.5) & np.asarray(b.active)
+    bs = np.where(mask, 1.0 / 20.0, 1.0).astype(np.float32)
+    res = pallas_colored_sweeps_streamed(
+        jnp.asarray(b.J_rows), h, m0, phi0, 42, np.full(12, 2.0, np.float32),
+        np.ones(8, np.float32), mask.astype(np.float32), bs,
+        num_sweeps=12, block_size=128, r_tile=8)
+    m = np.asarray(res.m)
+    np.testing.assert_array_equal(m[~mask], np.asarray(m0)[~mask])
+    Jf = np.asarray(b.J_rows.reshape(b.n_pad, b.n_pad))
+    np.testing.assert_allclose(np.asarray(res.phi), m @ Jf + np.asarray(h),
+                               atol=1e-3)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="engine streamed routing is TPU-only")
+def test_engine_routes_masked_phases_to_streamed_tpu(rng):
+    """engine.run with update_mask/beta_spin above n_pad=1536 must take the
+    streaming Pallas path (it must NOT raise with backend='pallas')."""
+    from nmc_tpu.ops.engine import SweepEngine
+    prob = ea_2d(48, seed=1)   # N=2304 > 1536
+    eng = SweepEngine(prob, use_coloring=True, backend="pallas")
+    m0 = eng.from_blocked(eng.init_states(jax.random.PRNGKey(0), 8))
+    mask = rng.random((8, prob.n)) < 0.5
+    bs = np.where(mask, 0.05, 1.0)
+    res = eng.run(m0, jax.random.PRNGKey(1), num_sweeps=4, beta=2.0,
+                  beta_spin=bs, update_mask=mask)
+    m = np.asarray(res.m)
+    frozen = ~mask
+    np.testing.assert_array_equal(m[frozen], np.asarray(m0)[frozen])
