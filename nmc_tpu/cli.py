@@ -150,6 +150,48 @@ def cmd_icm(args):
     }))
 
 
+def cmd_sharded(args):
+    """Scan-fused mesh-sharded NPT (single chip, pod slice, or multi-host
+    via the NMC_TPU_COORDINATOR env launch — parallel/distributed.py)."""
+    import jax
+
+    from .parallel.distributed import host_gather
+    from .parallel.sharded_pt import ShardedNPT, ShardedNPTConfig
+
+    prob = _load_problem(args).normalized()[0]
+    beta_list = np.load(args.beta_list) if args.beta_list else \
+        np.geomspace(args.beta_start, args.beta_max, args.replicas)
+    R = beta_list.shape[0]
+    doNMC = [False] * (R - args.nmc_coldest) + [True] * args.nmc_coldest
+    cfg = ShardedNPTConfig(
+        sweeps_per_phase=args.sweeps_per_phase, num_cycles=args.cycles,
+        num_swapping_pairs=max(R // 4, 1), global_beta=args.beta,
+        temp_x=args.temp_x, use_coloring=args.coloring,
+        block_size=args.block_size,
+    )
+    npt = ShardedNPT(prob, beta_list, doNMC, cfg)
+    state = npt.init_state(jax.random.PRNGKey(args.seed))
+    rounds_done = 0
+    while rounds_done < args.rounds:
+        k = min(args.chunk_rounds, args.rounds - rounds_done)
+        state, metrics = npt.run_scanned(state, k)
+        rounds_done += k
+        e_best, m_best = npt.best(state)
+        if args.target_energy is not None and \
+                float(prob.energy(m_best)) <= args.target_energy:
+            break
+    e_best, m_best = npt.best(state)
+    accepted = host_gather(metrics.accepted)
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "min_energy": float(prob.energy(m_best)),
+            "rounds": rounds_done,
+            "replicas": R, "devices": len(jax.devices()),
+            "processes": jax.process_count(),
+            "last_chunk_swap_accepts": int(np.asarray(accepted).sum()),
+        }))
+
+
 def cmd_evaluate(args):
     from . import evaluation as ev
 
@@ -199,6 +241,11 @@ def cmd_generate(args):
 
 
 def main(argv=None):
+    # multi-host launch: joins the jax.distributed runtime when the
+    # NMC_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID env vars are set (a
+    # no-op otherwise) — see parallel/distributed.py
+    from .parallel.distributed import initialize_from_env
+    initialize_from_env()
     ap = argparse.ArgumentParser(prog="nmc_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -280,6 +327,26 @@ def main(argv=None):
     p.add_argument("--coloring", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("sharded",
+                       help="mesh-sharded scan-fused NPT (multi-chip/-host)")
+    _add_problem_args(p)
+    p.add_argument("--beta-list")
+    p.add_argument("--replicas", type=int, default=32)
+    p.add_argument("--beta-start", type=float, default=0.25)
+    p.add_argument("--beta-max", type=float, default=16.0)
+    p.add_argument("--beta", type=float, default=2.5,
+                   help="global_beta for NMC replicas")
+    p.add_argument("--temp-x", type=float, default=20.0)
+    p.add_argument("--rounds", type=int, default=100)
+    p.add_argument("--chunk-rounds", type=int, default=50)
+    p.add_argument("--sweeps-per-phase", type=int, default=64)
+    p.add_argument("--cycles", type=int, default=3)
+    p.add_argument("--nmc-coldest", type=int, default=0)
+    p.add_argument("--target-energy", type=float, default=None,
+                   help="stop when the f64 best energy reaches this "
+                        "(normalized units)")
+    p.set_defaults(fn=cmd_sharded)
 
     p = sub.add_parser("generate", help="write benchmark instances")
     p.add_argument("--kind", required=True,

@@ -16,6 +16,7 @@ The reference's only parallel backend is a single-node ProcessPoolExecutor
   * swap machinery shared by all: parallel/swaps.py.
 """
 
+from . import distributed
 from .ensemble import EnsembleConfig, EnsemblePT, EnsembleState
 from .spin_sharded import SpinShardedConfig, SpinShardedState, SpinShardedSweeper
 from .sharded_pt import RoundMetrics, ShardedNPT, ShardedNPTConfig, ShardedPTState
@@ -26,4 +27,5 @@ __all__ = [
     "EnsemblePT", "EnsembleConfig", "EnsembleState",
     "metropolis_label_swap", "select_pairs_device",
     "SpinShardedSweeper", "SpinShardedConfig", "SpinShardedState",
+    "distributed",
 ]

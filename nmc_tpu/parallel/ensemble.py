@@ -141,13 +141,16 @@ class EnsemblePT:
             return (res.m, swap.beta_to_slot, swap.slot_to_beta,
                     best_e, best_m)
 
-        def _round(state: EnsembleState) -> EnsembleState:
+        def _round(J_rows, J_diag, h, state: EnsembleState) -> EnsembleState:
+            # problem data arrives as ARGUMENTS, not closure captures —
+            # multi-process meshes forbid closing over arrays whose shards
+            # live on other hosts
             keys = jax.vmap(
                 lambda i: jax.random.fold_in(
                     jax.random.fold_in(state.key, state.round_index), i)
             )(jnp.arange(self.I))
             m, b2s, s2b, best_e, best_m = jax.vmap(one_instance)(
-                self.J_rows, self.J_diag, self.h, state.m,
+                J_rows, J_diag, h, state.m,
                 state.beta_to_slot, state.slot_to_beta,
                 state.best_e, state.best_m, keys)
             return EnsembleState(m=m, beta_to_slot=b2s, slot_to_beta=s2b,
@@ -157,7 +160,7 @@ class EnsemblePT:
         return _round
 
     def round(self, state: EnsembleState) -> EnsembleState:
-        return self._round_jit(state)
+        return self._round_jit(self.J_rows, self.J_diag, self.h, state)
 
     def run(self, state: EnsembleState, num_rounds: int) -> EnsembleState:
         for _ in range(num_rounds):
@@ -165,5 +168,11 @@ class EnsemblePT:
         return state
 
     def best_states(self, state: EnsembleState) -> np.ndarray:
-        """[I, n] best states per instance, original spin order."""
-        return np.asarray(state.best_m)[:, np.asarray(self.blocked0.inv_perm)]
+        """[I, n] best states per instance, original spin order.
+        Multi-host safe: allgathers instance shards across processes."""
+        from .distributed import host_gather
+        return host_gather(state.best_m)[:, np.asarray(self.blocked0.inv_perm)]
+
+    def best_energies(self, state: EnsembleState) -> np.ndarray:
+        from .distributed import host_gather
+        return host_gather(state.best_e)

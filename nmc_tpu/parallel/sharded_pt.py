@@ -411,22 +411,25 @@ class ShardedNPT:
         return self._scan_jit[num_rounds](state)
 
     def best(self, state: ShardedPTState):
-        """(best-ever f32 energy, best state in ORIGINAL spin order), host."""
-        eb = np.asarray(state.e_best)
+        """(best-ever f32 energy, best state in ORIGINAL spin order), host.
+        Multi-host safe: sharded arrays allgather across processes."""
+        from .distributed import host_gather
+        eb = host_gather(state.e_best)
         i = int(eb.argmin())
-        m = np.asarray(state.m_best)[i][np.asarray(self.blocked.inv_perm)]
+        m = host_gather(state.m_best)[i][np.asarray(self.blocked.inv_perm)]
         return float(eb[i]), m
 
     def save(self, state: ShardedPTState, path: str) -> None:
         """Snapshot a sharded run (states gathered to host, npz)."""
         from ..utils.checkpoint import save_checkpoint
+        from .distributed import host_gather
         save_checkpoint(path, ShardedPTState(
-            m=np.asarray(state.m), beta_to_slot=np.asarray(state.beta_to_slot),
+            m=host_gather(state.m), beta_to_slot=np.asarray(state.beta_to_slot),
             slot_to_beta=np.asarray(state.slot_to_beta),
             key=np.asarray(state.key),
             round_index=np.asarray(state.round_index),
-            m_best=np.asarray(state.m_best),
-            e_best=np.asarray(state.e_best)),
+            m_best=host_gather(state.m_best),
+            e_best=host_gather(state.e_best)),
             step=int(state.round_index))
 
     def restore(self, path: str) -> ShardedPTState:
@@ -446,5 +449,6 @@ class ShardedNPT:
 
     def states_by_temperature(self, state: ShardedPTState) -> np.ndarray:
         """Gather states ordered by temperature index [R, n] (host)."""
-        m = np.asarray(state.m)[np.asarray(state.beta_to_slot)]
+        from .distributed import host_gather
+        m = host_gather(state.m)[np.asarray(state.beta_to_slot)]
         return m[:, np.asarray(self.blocked.inv_perm)]
