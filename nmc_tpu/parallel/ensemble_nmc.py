@@ -1,0 +1,296 @@
+"""Instance-ensemble NMC-PT: many instances x full NPT rounds, one program.
+
+The reference benchmarks instance FAMILIES (50-100 edge-list files per
+folder) by launching one Python process per instance. On TPU a single
+chimera-512-sized NPT ladder uses a sliver of one chip; the right shape is
+a leading `instance` axis batched (vmap) and/or sharded (mesh) on top of
+the full swap-round body — sweeps, convexified-LBP backbone extraction,
+heated/frozen NMC phases, and label-permutation replica exchange all run
+for EVERY instance in ONE jitted scan. Zero cross-instance communication,
+so it scales linearly over chips and hosts.
+
+Requirements: instances must share the topology family (same spin count;
+the coupling-pattern of instance 0 decides the coloring/blocking applied
+to all — true for the reference's chimera/DCL/wishart folders).
+
+This is the campaign engine behind scripts/campaign.py: per-instance
+ground-state targets are checked host-side between scanned chunks, giving
+per-instance time-to-solution from a single run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.problem import IsingProblem, block_problem
+from ..ops.clusters import backbone_mask_device
+from ..ops.lbp import lambda_ladder
+from ..ops.sweeps import run_sweeps
+from .sharded_pt import ShardedNPTConfig
+from .swaps import metropolis_label_swap
+
+
+class EnsembleNMCState(NamedTuple):
+    m: jax.Array             # [I, R, n_pad]
+    beta_to_slot: jax.Array  # [I, R]
+    slot_to_beta: jax.Array  # [I, R]
+    key: jax.Array
+    round_index: jax.Array
+    m_best: jax.Array        # [I, n_pad] best-ever state per instance
+    e_best: jax.Array        # [I] best-ever energy per instance
+
+
+class EnsembleNMC:
+    """Batched-instance NPT with NMC phases (single- or multi-chip)."""
+
+    def __init__(
+        self,
+        problems: Sequence[IsingProblem],
+        beta_list: Sequence[float],
+        doNMC: Sequence[bool],
+        cfg: ShardedNPTConfig = ShardedNPTConfig(),
+        mesh: Optional[Mesh] = None,
+        axis_name: str = "instance",
+    ):
+        ns = {p.n for p in problems}
+        if len(ns) != 1:
+            raise ValueError("ensemble instances must share the same size")
+        self.I = len(problems)
+        self.axis = axis_name
+        beta_list = np.asarray(beta_list, dtype=np.float64)
+        self.R = beta_list.shape[0]
+        self.doNMC = np.asarray(doNMC, dtype=bool)
+        self.any_nmc = bool(self.doNMC.any())
+
+        dtype = jnp.dtype(cfg.dtype)
+        np_dtype = np.dtype(dtype.name)
+        groups = None
+        if cfg.use_coloring:
+            from ..ops.coloring import color_groups
+            groups = color_groups(problems[0].J)   # family-shared topology
+        blocked = [block_problem(p, block_size=cfg.block_size, groups=groups,
+                                 dtype=np_dtype) for p in problems]
+        if blocked[0].colored:
+            cfg = dataclasses.replace(cfg, within_block="jacobi")
+        self.cfg = cfg
+        self.blocked0 = blocked[0]
+        self.n_pad = blocked[0].n_pad
+
+        if mesh is None:
+            devs = jax.devices()
+            n_use = len(devs)
+            while self.I % n_use:   # largest device count dividing I
+                n_use -= 1
+            mesh = Mesh(np.array(devs[:n_use]), (axis_name,))
+        self.mesh = mesh
+        n_dev = mesh.shape[axis_name]
+        if self.I % n_dev != 0:
+            raise ValueError(
+                f"{self.I} instances must divide over {n_dev} devices")
+        inst = NamedSharding(mesh, P(axis_name))
+
+        self.J_rows = jax.device_put(
+            jnp.stack([jnp.asarray(b.J_rows) for b in blocked]), inst)
+        self.J_diag = jax.device_put(
+            jnp.stack([jnp.asarray(b.J_diag) for b in blocked]), inst)
+        self.h = jax.device_put(
+            jnp.stack([jnp.asarray(b.h) for b in blocked]), inst)
+        eps = np.stack([np.abs(b.h)
+                        + np.abs(b.J_rows.reshape(b.n_pad, b.n_pad)).sum(1)
+                        for b in blocked])
+        self.epsilon = jax.device_put(jnp.asarray(eps, dtype), inst)
+        self.active = jnp.asarray(blocked[0].active)
+        self.beta_list = jnp.asarray(beta_list, dtype)
+        self.do_nmc_by_beta = jnp.asarray(self.doNMC)
+        self.ladder = tuple(lambda_ladder(cfg.lambda_start, cfg.lambda_end,
+                                          cfg.lambda_reduction_factor))
+        self._scan_jit = {}
+
+    # ------------------------------------------------------------------
+    def init_state(self, key) -> EnsembleNMCState:
+        k_m, key = jax.random.split(key)
+        u = jax.random.uniform(k_m, (self.I, self.R, self.n_pad),
+                               dtype=self.h.dtype)
+        m = jnp.where(u < 0.5, -1.0, 1.0).astype(self.h.dtype)
+        m = jnp.where(self.active, m, 1.0)
+        inst = NamedSharding(self.mesh, P(self.axis))
+        ids = jnp.broadcast_to(jnp.arange(self.R, dtype=jnp.int32),
+                               (self.I, self.R))
+        return EnsembleNMCState(
+            m=jax.device_put(m, inst),
+            beta_to_slot=ids, slot_to_beta=ids, key=key,
+            round_index=jnp.int32(0),
+            m_best=jax.device_put(jnp.ones((self.I, self.n_pad),
+                                           self.h.dtype), inst),
+            e_best=jax.device_put(jnp.full((self.I,), jnp.inf, self.h.dtype),
+                                  inst),
+        )
+
+    # ------------------------------------------------------------------
+    def _lbp_marginal(self, J_full, h, epsilon, m_star):
+        """Convexified LBP for one chain of one instance (dense, in-jit);
+        vmapped over slots and instances by the round body. Mirrors
+        ShardedNPT._lbp_marginal (/root/reference/NMC/nmc.py:93-228)."""
+        cfg = self.cfg
+        beta = jnp.asarray(cfg.global_beta, J_full.dtype)
+        tanh_bJ = jnp.tanh(beta * J_full)
+        eye = jnp.eye(self.n_pad, dtype=J_full.dtype)
+
+        def lbp(h_lambda, h_msgs, u_msgs):
+            def step(state):
+                h_m, u_m, it, _ = state
+                col_in = h_lambda + jnp.sum(u_m, axis=0)
+                h_new = (col_in[:, None] - u_m.T) * (1.0 - eye)
+                u_new = jnp.arctanh(jnp.clip(
+                    tanh_bJ * jnp.tanh(beta * h_new),
+                    -0.9999999, 0.9999999)) / beta
+                u_ch = jnp.max(jnp.abs(u_new - u_m)) / (
+                    jnp.max(jnp.abs(u_new) + jnp.abs(u_m)) + 1e-30)
+                h_ch = jnp.max(jnp.abs(h_new - h_m)) / (
+                    jnp.max(jnp.abs(h_new) + jnp.abs(h_m)) + 1e-30)
+                conv = (u_ch < cfg.lbp_tolerance) & (h_ch < cfg.lbp_tolerance)
+                return h_new, u_new, it + 1, conv
+
+            def cond(state):
+                _, _, it, conv = state
+                return (it < cfg.lbp_max_iterations) & (~conv)
+
+            h_f, u_f, _, conv = jax.lax.while_loop(
+                cond, step, (h_msgs, u_msgs, jnp.int32(0), jnp.bool_(False)))
+            mag = jnp.tanh(beta * (h_lambda + jnp.sum(u_f, axis=0)))
+            return mag, h_f, u_f, conv
+
+        h_msgs = jnp.zeros_like(J_full)
+        u_msgs = J_full * m_star[None, :]
+        marginal = jnp.zeros(self.n_pad, J_full.dtype)
+        have_prev = jnp.bool_(False)
+        for lam in self.ladder:
+            h_lambda = h + lam * m_star * epsilon
+            mag, h_msgs, u_msgs, conv = lbp(h_lambda, h_msgs, u_msgs)
+            marginal = jnp.where(conv | ~have_prev, mag, marginal)
+            have_prev = have_prev | conv
+        return marginal
+
+    # ------------------------------------------------------------------
+    def _build_round(self):
+        cfg = self.cfg
+        R, n_pad = self.R, self.n_pad
+        dtype = self.h.dtype
+
+        def one_instance(J_rows, J_diag, h, epsilon,
+                         m, b2s, s2b, mb, eb, key, round_index):
+            J_full = J_rows.reshape(n_pad, n_pad)
+            k_dev = jax.random.fold_in(key, round_index)
+            k_swap = jax.random.fold_in(k_dev, jnp.uint32(0xD00D))
+
+            beta_local = self.beta_list[s2b]
+            do_nmc = self.do_nmc_by_beta[s2b]
+            base_row = jnp.where(do_nmc, jnp.asarray(cfg.global_beta, dtype),
+                                 beta_local.astype(dtype))[:, None]
+            act = jnp.broadcast_to(self.active, (R, n_pad))
+
+            if self.any_nmc:
+                # LBP only for the k NMC slots (k is static = count of True
+                # in doNMC; which SLOTS those are changes as labels swap, so
+                # gather by sorted do_nmc membership and scatter masks back)
+                k = int(self.doNMC.sum())
+                nmc_slots = jnp.argsort(do_nmc)[-k:]          # [k]
+                m_nmc = m[nmc_slots]                          # [k, n_pad]
+                marg = jax.vmap(
+                    lambda ms: self._lbp_marginal(J_full, h, epsilon, ms)
+                )(m_nmc)
+                cl_k = backbone_mask_device(
+                    marg, jnp.abs(J_full), cfg.threshold_initial,
+                    cfg.threshold_cutoff, cfg.threshold_step,
+                    active=act[:k])
+                cl = jnp.zeros((R, n_pad), bool).at[nmc_slots].set(cl_k)
+                cl = cl & act
+            else:
+                cl = act
+
+            def phase(mm, kk, beta_spin, mask):
+                phi = jnp.matmul(mm, J_full, precision=cfg.precision) + h
+                return run_sweeps(
+                    J_rows, J_diag, h, mm, phi, kk,
+                    jnp.ones((cfg.sweeps_per_phase,), dtype), beta_spin,
+                    mask, num_sweeps=cfg.sweeps_per_phase,
+                    within_block=cfg.within_block, block_order="fixed",
+                    record_m=False, precision=cfg.precision)
+
+            def track(res, mb, eb):
+                r = jnp.argmin(res.e_best)
+                imp = res.e_best[r] < eb
+                return (jnp.where(imp, res.m_best[r], mb),
+                        jnp.where(imp, res.e_best[r], eb))
+
+            for cycle in range(cfg.num_cycles):
+                k_dev, kc, knc, kall = jax.random.split(k_dev, 4)
+                heat = jnp.where(do_nmc[:, None] & cl,
+                                 jnp.asarray(1.0 / cfg.temp_x, dtype), 1.0)
+                res = phase(m, kc, base_row * heat,
+                            jnp.where(do_nmc[:, None], cl & act, act))
+                m = jnp.where(do_nmc[:, None], res.m_best, res.m)
+                mb, eb = track(res, mb, eb)
+
+                res = phase(m, knc, base_row,
+                            jnp.where(do_nmc[:, None], (~cl) & act, act))
+                m = jnp.where(do_nmc[:, None], res.m_best, res.m)
+                mb, eb = track(res, mb, eb)
+
+                if cycle % cfg.full_update_frequency == 0:
+                    res = phase(m, kall, base_row, act)
+                    m = jnp.where(do_nmc[:, None], res.m_best, res.m)
+                    mb, eb = track(res, mb, eb)
+
+            # carried-state energies for the swap test (see sharded_pt)
+            phi_c = jnp.matmul(m, J_full, precision=cfg.precision)
+            e_carried = -(0.5 * jnp.sum(m * phi_c, axis=-1)
+                          + jnp.sum(m * h, axis=-1))
+            swap = metropolis_label_swap(
+                k_swap, b2s, self.beta_list.astype(jnp.float32),
+                e_carried.astype(jnp.float32),
+                num_pairs=cfg.num_swapping_pairs)
+            return m, swap.beta_to_slot, swap.slot_to_beta, mb, eb
+
+        def _round(J_rows, J_diag, h, epsilon, state: EnsembleNMCState):
+            keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
+                jnp.arange(self.I))
+            m, b2s, s2b, mb, eb = jax.vmap(
+                one_instance, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None)
+            )(J_rows, J_diag, h, epsilon, state.m,
+              state.beta_to_slot, state.slot_to_beta,
+              state.m_best, state.e_best, keys, state.round_index)
+            return EnsembleNMCState(
+                m=m, beta_to_slot=b2s, slot_to_beta=s2b, key=state.key,
+                round_index=state.round_index + 1, m_best=mb, e_best=eb)
+
+        return _round
+
+    # ------------------------------------------------------------------
+    def run_scanned(self, state: EnsembleNMCState, num_rounds: int):
+        """num_rounds full ensemble rounds in ONE dispatch."""
+        if num_rounds not in self._scan_jit:
+            round_fn = self._build_round()
+
+            def scanned(J_rows, J_diag, h, eps, state0):
+                def body(s, _):
+                    return round_fn(J_rows, J_diag, h, eps, s), None
+                s, _ = jax.lax.scan(body, state0, None, length=num_rounds)
+                return s
+
+            self._scan_jit[num_rounds] = jax.jit(scanned)
+        return self._scan_jit[num_rounds](self.J_rows, self.J_diag, self.h,
+                                          self.epsilon, state)
+
+    def best(self, state: EnsembleNMCState):
+        """([I] best f32 energies, [I, n] best states, original order)."""
+        from .distributed import host_gather
+        eb = host_gather(state.e_best)
+        mb = host_gather(state.m_best)[:, np.asarray(self.blocked0.inv_perm)]
+        return eb, mb

@@ -144,6 +144,82 @@ def solve_sharded(prob, gs_raw, args, spec):
     )
 
 
+def solve_ensemble_batch(pending, args, spec, meta, out_path):
+    """ALL pending instances of a family solved in ONE batched SPMD program
+    (EnsembleNMC): per-instance ground-state targets checked between
+    scanned chunks; an instance's TTS is the shared wall clock at its first
+    verified hit (the whole batch co-runs on the chip, which is the honest
+    production-throughput setting). Streams one JSONL record per instance."""
+    import time
+
+    import jax
+    from nmc_tpu.parallel.ensemble_nmc import EnsembleNMC
+    from nmc_tpu.parallel.sharded_pt import ShardedNPTConfig
+
+    names = [name for name, _, _ in pending]
+    probs, factors, gs_norm, atol_norm = [], [], [], []
+    for _, prob, gs_raw in pending:
+        np_, f = prob.normalized()
+        probs.append(np_)
+        factors.append(f)
+        gs_norm.append(gs_raw / f)
+        atol_norm.append(max(1e-6 * abs(gs_raw), 1e-9) / f)
+    I = len(probs)
+
+    beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
+    cold = args.nmc_cold if args.arm == "nmc" else 0
+    doNMC = [False] * (args.replicas - cold) + [True] * cold
+    cfg = ShardedNPTConfig(
+        sweeps_per_phase=args.sweeps_per_phase, num_cycles=args.num_cycles,
+        num_swapping_pairs=max(args.replicas // 4, 1),
+        global_beta=args.global_beta, temp_x=args.temp_x,
+        use_coloring=spec["coloring"], lbp_mode="dense",
+    )
+    ens = EnsembleNMC(probs, beta, doNMC, cfg)
+    sweeps_per_round = args.num_cycles * 3 * args.sweeps_per_phase
+    total_rounds = max(args.sweeps // sweeps_per_round, 1)
+
+    t0 = time.perf_counter()
+    state = ens.init_state(jax.random.PRNGKey(args.seed))
+    rounds_done = 0
+    hit_at = {}           # name -> (rounds, seconds)
+    best64 = np.full(I, np.inf)
+    while rounds_done < total_rounds and len(hit_at) < I:
+        k = min(args.chunk_rounds, total_rounds - rounds_done)
+        state = ens.run_scanned(state, k)
+        rounds_done += k
+        eb, mb = ens.best(state)
+        now = time.perf_counter() - t0
+        for i in range(I):
+            if names[i] in hit_at:
+                continue
+            best64[i] = min(best64[i], float(probs[i].energy(mb[i])))
+            if best64[i] <= gs_norm[i] + atol_norm[i]:
+                hit_at[names[i]] = (rounds_done, now)
+                print(f"  hit {names[i]} at round {rounds_done} "
+                      f"({now:.1f}s)", flush=True)
+    wall = time.perf_counter() - t0
+
+    for i, name in enumerate(names):
+        hit = name in hit_at
+        rec = dict(
+            name=name, n=probs[i].n,
+            gs_raw=float(gs_norm[i] * factors[i]),
+            found_raw=float(best64[i] * factors[i]),
+            residual=float((best64[i] - gs_norm[i]) * factors[i]),
+            hit=hit,
+            hit_seconds=hit_at[name][1] if hit else None,
+            hit_sweeps=hit_at[name][0] * sweeps_per_round if hit else None,
+            rounds_completed=rounds_done, rounds_total=total_rounds,
+            per_swap=sweeps_per_round, wall_seconds=wall,
+            meta=dict(meta, mode="ensemble", batch=I),
+        )
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"{name}: hit={hit} residual={rec['residual']:.4f} "
+              f"rounds={rounds_done}/{total_rounds}", flush=True)
+
+
 def run_arm(args):
     import jax
     from nmc_tpu import APTICMConfig, NPTConfig, apt_icm_run, npt_run
@@ -172,6 +248,17 @@ def run_arm(args):
                 seed=args.seed)
     print(f"# campaign {meta}", flush=True)
 
+    if args.arm in ("pt", "nmc"):
+        pending = [(name, prob, gs) for name, prob, gs
+                   in get_instances(spec, args.instances)
+                   if name not in done]
+        if not pending:
+            print("all instances done", flush=True)
+            return
+        print(f"batched ensemble solve: {len(pending)} instances", flush=True)
+        solve_ensemble_batch(pending, args, spec, meta, args.out)
+        return
+
     for name, prob, gs_raw in get_instances(spec, args.instances):
         if name in done:
             print(f"skip {name} (done)", flush=True)
@@ -181,16 +268,7 @@ def run_arm(args):
         atol_norm = max(1e-6 * abs(gs_raw), 1e-9) / norm_factor
         key = jax.random.PRNGKey(args.seed)
         t0 = time.perf_counter()
-        if args.arm in ("pt", "nmc"):
-            rec = solve_sharded(prob, gs_raw, args, spec)
-            rec.update(name=name, n=prob.n, gs_raw=float(gs_raw), meta=meta)
-            with open(args.out, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            print(f"{name}: hit={rec['hit']} residual={rec['residual']:.4f} "
-                  f"rounds={rec['rounds_completed']}/{rec['rounds_total']} "
-                  f"wall={rec['wall_seconds']:.1f}s", flush=True)
-            continue
-        elif args.arm == "icm":
+        if args.arm == "icm":
             cfg = APTICMConfig(
                 num_sweeps_MCMC=args.sweeps, num_sweeps_read=args.sweeps,
                 num_swap_attempts=args.swap_attempts,

@@ -187,3 +187,45 @@ def test_sharded_npt_checkpoint_roundtrip(tmp_path):
     a, _ = pt.round(state)
     b, _ = pt.round(restored)
     np.testing.assert_array_equal(np.asarray(a.m), np.asarray(b.m))
+
+
+class TestEnsembleNMC:
+    def test_batched_instances_with_nmc(self):
+        from nmc_tpu.io.generators import ea_2d
+        from nmc_tpu.parallel import EnsembleNMC
+        from nmc_tpu.parallel.sharded_pt import ShardedNPTConfig
+        probs = [ea_2d(6, seed=s).normalized()[0] for s in range(4)]
+        cfg = ShardedNPTConfig(sweeps_per_phase=6, num_cycles=1,
+                               num_swapping_pairs=2, use_coloring=True,
+                               block_size=16, lbp_mode="dense",
+                               lbp_max_iterations=10)
+        beta = np.geomspace(0.3, 4.0, 8)
+        ens = EnsembleNMC(probs, beta, [False] * 6 + [True] * 2, cfg)
+        state = ens.init_state(jax.random.PRNGKey(0))
+        state = ens.run_scanned(state, 6)
+        eb, mb = ens.best(state)
+        assert eb.shape == (4,) and np.isfinite(eb).all()
+        # f64 re-evaluation of gathered best states matches the f32 track
+        for i, p in enumerate(probs):
+            assert abs(float(p.energy(mb[i])) - eb[i]) < 1e-3
+        # label permutations stay valid per instance
+        b2s = np.asarray(state.beta_to_slot)
+        for i in range(4):
+            assert sorted(b2s[i].tolist()) == list(range(8))
+
+    def test_ensemble_nmc_descends(self):
+        from nmc_tpu.io.generators import random_sk
+        from nmc_tpu.parallel import EnsembleNMC
+        from nmc_tpu.parallel.sharded_pt import ShardedNPTConfig
+        probs = [random_sk(10, seed=s).normalized()[0] for s in range(2)]
+        cfg = ShardedNPTConfig(sweeps_per_phase=8, num_cycles=1,
+                               num_swapping_pairs=1, block_size=16,
+                               lbp_mode="dense", lbp_max_iterations=10)
+        ens = EnsembleNMC(probs, np.geomspace(0.3, 3.0, 6),
+                          [False] * 4 + [True] * 2, cfg)
+        state = ens.init_state(jax.random.PRNGKey(1))
+        s1 = ens.run_scanned(state, 1)
+        e1, _ = ens.best(s1)
+        s8 = ens.run_scanned(s1, 8)
+        e8, _ = ens.best(s8)
+        assert (e8 <= e1 + 1e-6).all()
