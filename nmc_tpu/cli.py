@@ -91,6 +91,8 @@ def cmd_apt(args):
         num_rng=args.chains, beta_start=args.beta_start, alpha=args.alpha,
         beta_max=args.beta_max, save_dir=args.out_dir,
         block_size=args.block_size, use_coloring=args.coloring,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every, resume=args.resume,
     )
     res = apt_preprocess(prob, cfg, jax.random.PRNGKey(args.seed),
                          metrics=_metrics(args))
@@ -271,6 +273,9 @@ def main(argv=None):
     p.add_argument("--alpha", type=float, default=1.25)
     p.add_argument("--beta-max", type=float, default=30.0)
     p.add_argument("--out-dir", default="Results/data")
+    p.add_argument("--checkpoint")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_apt)
 
     p = sub.add_parser("npt", help="replica exchange with NMC replicas")

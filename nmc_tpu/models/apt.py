@@ -47,6 +47,11 @@ class APTConfig:
     normalize: bool = True
     max_rungs: int = 10_000       # safety bound absent in the reference
     save_dir: Optional[str] = None  # e.g. "Results/data" for artifact parity
+    # fault tolerance (mirrors NPTConfig; APT rungs are long, preemption
+    # would otherwise lose the whole ladder)
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 0     # snapshot every K rungs (0 = off)
+    resume: bool = False
     # TPU execution knobs
     block_size: int = 128
     use_coloring: bool = False
@@ -95,6 +100,16 @@ def apt_preprocess(
     m = engine.from_blocked(engine.init_states(k_init, cfg.num_rng))
 
     rung = 1
+    if cfg.resume and cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        from ..utils.checkpoint import load_checkpoint
+        snap, step, _ = load_checkpoint(cfg.checkpoint_path)
+        m = snap["m"]
+        beta = [float(b) for b in snap["beta"]]
+        sigma = [float(s) for s in snap["sigma"]]
+        sigma_E = float(snap["sigma_E"])
+        key = jnp.asarray(snap["key"])
+        rung = int(step)
+
     while sigma_E > sigma_E_min and rung <= cfg.max_rungs:
         rung_t0 = time.perf_counter()
         if rung != 1:
@@ -123,6 +138,15 @@ def apt_preprocess(
             np.save(os.path.join(cfg.save_dir, f"sigma_iter_{rung}.npy"),
                     sigma_E)
         rung += 1
+        if (cfg.checkpoint_path and cfg.checkpoint_every
+                and (rung - 1) % cfg.checkpoint_every == 0):
+            from ..utils.checkpoint import save_checkpoint
+            save_checkpoint(
+                cfg.checkpoint_path,
+                {"m": m, "beta": np.asarray(beta),
+                 "sigma": np.asarray(sigma), "sigma_E": sigma_E,
+                 "key": np.asarray(key)},
+                step=rung)
 
     if cfg.save_dir:
         np.save(os.path.join(cfg.save_dir, "beta_list_python.npy"),

@@ -170,3 +170,24 @@ class TestICMCheckpoint:
         np.testing.assert_allclose(resumed.min_energy, full.min_energy)
         assert resumed.icm_moves == full.icm_moves
         assert resumed.icm_flips == full.icm_flips
+
+
+class TestAPTCheckpoint:
+    def test_apt_resume_matches_uninterrupted(self, tmp_path):
+        from nmc_tpu import APTConfig, apt_preprocess
+        prob = random_sk(12, seed=30)
+        ck = str(tmp_path / "apt.npz")
+        base = dict(num_sweeps_MCMC=60, num_sweeps_read=30, num_rng=6,
+                    beta_start=0.4, alpha=1.0, beta_max=4.0, block_size=16)
+        full = apt_preprocess(prob, APTConfig(**base), jax.random.PRNGKey(2))
+        apt_preprocess(prob, APTConfig(**base, checkpoint_path=ck,
+                                       checkpoint_every=2),
+                       jax.random.PRNGKey(2))
+        assert os.path.exists(ck)
+        resumed = apt_preprocess(prob, APTConfig(**base, checkpoint_path=ck,
+                                                 resume=True),
+                                 jax.random.PRNGKey(2))
+        # resumed ladder must extend the checkpointed prefix to the same
+        # final schedule as the uninterrupted run
+        np.testing.assert_allclose(resumed.beta, full.beta)
+        np.testing.assert_allclose(resumed.sigma, full.sigma)
