@@ -60,7 +60,13 @@ class EnsembleNMC:
     ):
         ns = {p.n for p in problems}
         if len(ns) != 1:
-            raise ValueError("ensemble instances must share the same size")
+            # families like DCL ship instances whose max spin index varies
+            # (removed couplers can isolate trailing spins): pad everything
+            # to the family max — padded spins are free (zero couplings/h)
+            # and contribute nothing to the energy
+            n_max = max(ns)
+            problems = [p if p.n == n_max else _pad_problem(p, n_max)
+                        for p in problems]
         self.I = len(problems)
         self.axis = axis_name
         beta_list = np.asarray(beta_list, dtype=np.float64)
@@ -73,7 +79,13 @@ class EnsembleNMC:
         groups = None
         if cfg.use_coloring:
             from ..ops.coloring import color_groups
-            groups = color_groups(problems[0].J)   # family-shared topology
+            # color the UNION graph: instances are subgraphs of the family
+            # topology, but any single instance may miss edges another one
+            # has — a union coloring is valid for every member
+            J_union = np.zeros_like(np.asarray(problems[0].J))
+            for p in problems:
+                J_union += np.abs(np.asarray(p.J))
+            groups = color_groups(J_union)
         blocked = [block_problem(p, block_size=cfg.block_size, groups=groups,
                                  dtype=np_dtype) for p in problems]
         if blocked[0].colored:
@@ -294,3 +306,11 @@ class EnsembleNMC:
         eb = host_gather(state.e_best)
         mb = host_gather(state.m_best)[:, np.asarray(self.blocked0.inv_perm)]
         return eb, mb
+
+
+def _pad_problem(p: IsingProblem, n: int) -> IsingProblem:
+    J = np.zeros((n, n))
+    J[:p.n, :p.n] = np.asarray(p.J)
+    h = np.zeros(n)
+    h[:p.n] = np.asarray(p.h).reshape(-1)
+    return IsingProblem(J, h, name=p.name)
