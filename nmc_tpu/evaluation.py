@@ -124,8 +124,8 @@ def evaluate_solver(
     return EvalReport(instances=out)
 
 
-def make_pt_solver(num_replicas=12, beta_min=0.3, beta_max=4.0,
-                   sweeps=2000, swap_attempts=20, key_seed=0,
+def make_pt_solver(num_replicas=24, beta_min=0.3, beta_max=8.0,
+                   sweeps=40_000, swap_attempts=100, key_seed=0,
                    block_size=128, use_coloring=False,
                    nmc_coldest=0, lambda_start=3.0, tolerance=1e-8,
                    max_iterations=300, num_cycles=2, **npt_kwargs):

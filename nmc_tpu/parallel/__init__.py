@@ -18,6 +18,7 @@ The reference's only parallel backend is a single-node ProcessPoolExecutor
 
 from . import distributed
 from .ensemble import EnsembleConfig, EnsemblePT, EnsembleState
+from .ensemble_icm import EnsembleICM, EnsembleICMConfig, EnsembleICMState
 from .ensemble_nmc import EnsembleNMC, EnsembleNMCState
 from .spin_sharded import SpinShardedConfig, SpinShardedState, SpinShardedSweeper
 from .sharded_pt import RoundMetrics, ShardedNPT, ShardedNPTConfig, ShardedPTState
@@ -27,6 +28,7 @@ __all__ = [
     "ShardedNPT", "ShardedNPTConfig", "ShardedPTState", "RoundMetrics",
     "EnsemblePT", "EnsembleConfig", "EnsembleState",
     "EnsembleNMC", "EnsembleNMCState",
+    "EnsembleICM", "EnsembleICMConfig", "EnsembleICMState",
     "metropolis_label_swap", "select_pairs_device",
     "SpinShardedSweeper", "SpinShardedConfig", "SpinShardedState",
     "distributed",

@@ -1,0 +1,258 @@
+"""Instance-ensemble APT+ICM: the Houdayer baseline at campaign scale.
+
+Batched analogue of models/apt_icm.py (the reference's serial
+num_replicas x 10 sub-replica double loop, /root/reference/NPT/apt_ICM.py:
+197-246): every (instance, replica, sub-replica) chain is one batch lane,
+and each round — Gibbs sweeps, random same-temperature sub-replica pairing,
+device Houdayer cluster exchanges with Katzgraber's big-cluster flip, and
+per-sub-replica Metropolis label swaps — runs fully in-jit for ALL
+instances at once (lax.scan over rounds, zero cross-instance traffic).
+
+The Houdayer move uses the exact fixed-point sparse label propagation
+(ops/clusters.houdayer_move_sparse) over per-instance edge lists padded to
+a common length (dummy edges connect padded always-agreeing spins, so they
+can never activate). The move feeds back into the chains (the physically
+intended ICM; the reference's record-only quirk, apt_ICM.py:243-246, is a
+faithfulness concern for models/apt_icm.py, not for this solver arm).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.problem import IsingProblem, block_problem
+from ..ops.clusters import houdayer_move_sparse
+from ..ops.sweeps import run_sweeps
+from .swaps import metropolis_label_swap
+
+
+@dataclasses.dataclass
+class EnsembleICMConfig:
+    sweeps_per_round: int = 32
+    num_subreplicas: int = 10        # reference hardcodes 10 (apt_ICM.py:177)
+    use_katzgraber: bool = True
+    num_swapping_pairs: int = 1
+    block_size: int = 128
+    use_coloring: bool = False
+    within_block: str = "sequential"
+    precision: str = "highest"
+    dtype: str = "float32"
+
+
+class EnsembleICMState(NamedTuple):
+    m: jax.Array             # [I, S, R, n_pad] chains (slot-major per sub)
+    beta_to_slot: jax.Array  # [I, S, R] label perm per (instance, sub)
+    slot_to_beta: jax.Array  # [I, S, R]
+    key: jax.Array
+    round_index: jax.Array
+    m_best: jax.Array        # [I, n_pad]
+    e_best: jax.Array        # [I]
+    icm_moves: jax.Array     # [I] cumulative cluster exchanges
+    icm_flips: jax.Array     # [I] cumulative Katzgraber flips
+
+
+class EnsembleICM:
+    def __init__(
+        self,
+        problems: Sequence[IsingProblem],
+        beta_list: Sequence[float],
+        cfg: EnsembleICMConfig = EnsembleICMConfig(),
+        mesh: Optional[Mesh] = None,
+        axis_name: str = "instance",
+    ):
+        from .ensemble_nmc import _pad_problem
+        ns = {p.n for p in problems}
+        if len(ns) != 1:
+            n_max = max(ns)
+            problems = [p if p.n == n_max else _pad_problem(p, n_max)
+                        for p in problems]
+        self.I = len(problems)
+        self.axis = axis_name
+        beta_list = np.asarray(beta_list, dtype=np.float64)
+        self.R = beta_list.shape[0]
+        self.S = cfg.num_subreplicas
+
+        dtype = jnp.dtype(cfg.dtype)
+        np_dtype = np.dtype(dtype.name)
+        groups = None
+        if cfg.use_coloring:
+            from ..ops.coloring import color_groups
+            J_union = np.zeros_like(np.asarray(problems[0].J))
+            for p in problems:
+                J_union += np.abs(np.asarray(p.J))
+            groups = color_groups(J_union)
+        blocked = [block_problem(p, block_size=cfg.block_size, groups=groups,
+                                 dtype=np_dtype) for p in problems]
+        if blocked[0].colored:
+            cfg = dataclasses.replace(cfg, within_block="jacobi")
+        self.cfg = cfg
+        self.blocked0 = blocked[0]
+        self.n_pad = blocked[0].n_pad
+
+        if mesh is None:
+            devs = jax.devices()
+            n_use = len(devs)
+            while self.I % n_use:
+                n_use -= 1
+            mesh = Mesh(np.array(devs[:n_use]), (axis_name,))
+        self.mesh = mesh
+        inst = NamedSharding(mesh, P(axis_name))
+
+        self.J_rows = jax.device_put(
+            jnp.stack([jnp.asarray(b.J_rows) for b in blocked]), inst)
+        self.J_diag = jax.device_put(
+            jnp.stack([jnp.asarray(b.J_diag) for b in blocked]), inst)
+        self.h = jax.device_put(
+            jnp.stack([jnp.asarray(b.h) for b in blocked]), inst)
+        self.active = jnp.asarray(blocked[0].active)
+        self.beta_list = jnp.asarray(beta_list, dtype)
+
+        # per-instance edge lists in the BLOCKED layout, padded to a common
+        # length with dummy self-edges on a padded (always +1) spin
+        srcs, dsts = [], []
+        for b in blocked:
+            Jb = b.J_rows.reshape(b.n_pad, b.n_pad)
+            iu, ju = np.nonzero(np.triu(Jb, 1))
+            srcs.append(np.concatenate([iu, ju]))
+            dsts.append(np.concatenate([ju, iu]))
+        E_max = max(s.shape[0] for s in srcs)
+        pad_node = self.n_pad - 1   # padded spin (active mask False there)
+        src = np.full((self.I, E_max), pad_node, np.int32)
+        dst = np.full((self.I, E_max), pad_node, np.int32)
+        for i, (s_, d_) in enumerate(zip(srcs, dsts)):
+            src[i, :s_.shape[0]] = s_
+            dst[i, :d_.shape[0]] = d_
+        self.src = jax.device_put(jnp.asarray(src), inst)
+        self.dst = jax.device_put(jnp.asarray(dst), inst)
+        self._scan_jit = {}
+
+    # ------------------------------------------------------------------
+    def init_state(self, key) -> EnsembleICMState:
+        k_m, key = jax.random.split(key)
+        I, S, R, n_pad = self.I, self.S, self.R, self.n_pad
+        u = jax.random.uniform(k_m, (I, S, R, n_pad), dtype=self.h.dtype)
+        m = jnp.where(u < 0.5, -1.0, 1.0).astype(self.h.dtype)
+        m = jnp.where(self.active, m, 1.0)
+        inst = NamedSharding(self.mesh, P(self.axis))
+        ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), (I, S, R))
+        z = jnp.zeros((I,), jnp.int32)
+        return EnsembleICMState(
+            m=jax.device_put(m, inst), beta_to_slot=ids, slot_to_beta=ids,
+            key=key, round_index=jnp.int32(0),
+            m_best=jax.device_put(jnp.ones((I, n_pad), self.h.dtype), inst),
+            e_best=jax.device_put(jnp.full((I,), jnp.inf, self.h.dtype),
+                                  inst),
+            icm_moves=z, icm_flips=z)
+
+    # ------------------------------------------------------------------
+    def _build_round(self):
+        cfg = self.cfg
+        R, S, n_pad = self.R, self.S, self.n_pad
+        dtype = self.h.dtype
+
+        def one_instance(J_rows, J_diag, h, src, dst,
+                         m, b2s, s2b, mb, eb, moves, flips,
+                         key, round_index):
+            J_full = J_rows.reshape(n_pad, n_pad)
+            k = jax.random.fold_in(key, round_index)
+            k_sw, k_pair, k_icm, k_swap = jax.random.split(k, 4)
+            act = jnp.broadcast_to(self.active, (S * R, n_pad))
+
+            # --- sweeps: all S*R chains in one batched kernel ------------
+            beta_chain = self.beta_list[s2b].astype(dtype)  # [S, R]
+            flat = m.reshape(S * R, n_pad)
+            phi = jnp.matmul(flat, J_full, precision=cfg.precision) + h
+            res = run_sweeps(
+                J_rows, J_diag, h, flat, phi, k_sw,
+                jnp.ones((cfg.sweeps_per_round,), dtype),
+                beta_chain.reshape(S * R, 1), act,
+                num_sweeps=cfg.sweeps_per_round,
+                within_block=cfg.within_block, block_order="fixed",
+                record_m=False, precision=cfg.precision)
+            r_best = jnp.argmin(res.e_best)
+            imp = res.e_best[r_best] < eb
+            mb = jnp.where(imp, res.m_best[r_best], mb)
+            eb = jnp.where(imp, res.e_best[r_best], eb)
+            m = res.m.reshape(S, R, n_pad)
+
+            # --- Houdayer: random same-TEMPERATURE sub-replica pairing ---
+            # temperature t's chain in sub s is slot b2s[s, t]
+            perm = jax.random.permutation(k_pair, S)        # shared pairing
+            Pn = S // 2
+            sj, sk = perm[0:2 * Pn:2], perm[1:2 * Pn:2]     # [Pn] each
+            # gather states: [Pn, R, n_pad]
+            slot_j = b2s[sj]                                # [Pn, R]
+            slot_k = b2s[sk]
+            s1 = m[sj[:, None], slot_j]                     # [P, R, n_pad]
+            s2 = m[sk[:, None], slot_k]
+            keys = jax.random.split(k_icm, Pn * R).reshape(Pn, R, 2)
+            s1n, s2n, moved, flipped = jax.vmap(jax.vmap(
+                lambda a, b, kk: houdayer_move_sparse(
+                    src, dst, a, b, kk,
+                    use_katzgraber=cfg.use_katzgraber)))(s1, s2, keys)
+            m = m.at[sj[:, None], slot_j].set(s1n)
+            m = m.at[sk[:, None], slot_k].set(s2n)
+            moves = moves + jnp.sum(moved).astype(jnp.int32)
+            flips = flips + jnp.sum(flipped).astype(jnp.int32)
+
+            # --- energies of carried states + per-sub label swaps --------
+            flat = m.reshape(S * R, n_pad)
+            phi = jnp.matmul(flat, J_full, precision=cfg.precision)
+            e = -(0.5 * jnp.sum(flat * phi, axis=-1)
+                  + jnp.sum(flat * h, axis=-1)).reshape(S, R)
+            e_min = jnp.min(e)
+            r_min = jnp.argmin(e.reshape(-1))
+            imp = e_min < eb
+            mb = jnp.where(imp, flat[r_min], mb)
+            eb = jnp.where(imp, e_min, eb)
+
+            swap_keys = jax.random.split(k_swap, S)
+            swaps = jax.vmap(lambda kk, bb, ee: metropolis_label_swap(
+                kk, bb, self.beta_list.astype(jnp.float32),
+                ee.astype(jnp.float32),
+                num_pairs=cfg.num_swapping_pairs))(swap_keys, b2s, e)
+            return (m, swaps.beta_to_slot, swaps.slot_to_beta,
+                    mb, eb, moves, flips)
+
+        def _round(J_rows, J_diag, h, src, dst, state: EnsembleICMState):
+            keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
+                jnp.arange(self.I))
+            m, b2s, s2b, mb, eb, moves, flips = jax.vmap(
+                one_instance,
+                in_axes=(0,) * 5 + (0, 0, 0, 0, 0, 0, 0, 0, None)
+            )(J_rows, J_diag, h, src, dst, state.m,
+              state.beta_to_slot, state.slot_to_beta,
+              state.m_best, state.e_best, state.icm_moves, state.icm_flips,
+              keys, state.round_index)
+            return EnsembleICMState(
+                m=m, beta_to_slot=b2s, slot_to_beta=s2b, key=state.key,
+                round_index=state.round_index + 1, m_best=mb, e_best=eb,
+                icm_moves=moves, icm_flips=flips)
+
+        return _round
+
+    def run_scanned(self, state: EnsembleICMState, num_rounds: int):
+        if num_rounds not in self._scan_jit:
+            round_fn = self._build_round()
+
+            def scanned(J_rows, J_diag, h, src, dst, state0):
+                def body(s, _):
+                    return round_fn(J_rows, J_diag, h, src, dst, s), None
+                s, _ = jax.lax.scan(body, state0, None, length=num_rounds)
+                return s
+
+            self._scan_jit[num_rounds] = jax.jit(scanned)
+        return self._scan_jit[num_rounds](self.J_rows, self.J_diag, self.h,
+                                          self.src, self.dst, state)
+
+    def best(self, state: EnsembleICMState):
+        from .distributed import host_gather
+        eb = host_gather(state.e_best)
+        mb = host_gather(state.m_best)[:, np.asarray(self.blocked0.inv_perm)]
+        return eb, mb

@@ -167,16 +167,27 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     I = len(probs)
 
     beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
-    cold = args.nmc_cold if args.arm == "nmc" else 0
-    doNMC = [False] * (args.replicas - cold) + [True] * cold
-    cfg = ShardedNPTConfig(
-        sweeps_per_phase=args.sweeps_per_phase, num_cycles=args.num_cycles,
-        num_swapping_pairs=max(args.replicas // 4, 1),
-        global_beta=args.global_beta, temp_x=args.temp_x,
-        use_coloring=spec["coloring"], lbp_mode="dense",
-    )
-    ens = EnsembleNMC(probs, beta, doNMC, cfg)
     sweeps_per_round = args.num_cycles * 3 * args.sweeps_per_phase
+    if args.arm == "icm":
+        from nmc_tpu.parallel import EnsembleICM, EnsembleICMConfig
+        cfg = EnsembleICMConfig(
+            sweeps_per_round=sweeps_per_round,
+            num_subreplicas=args.subreplicas,
+            num_swapping_pairs=max(args.replicas // 4, 1),
+            use_coloring=spec["coloring"],
+        )
+        ens = EnsembleICM(probs, beta, cfg)
+    else:
+        cold = args.nmc_cold if args.arm == "nmc" else 0
+        doNMC = [False] * (args.replicas - cold) + [True] * cold
+        cfg = ShardedNPTConfig(
+            sweeps_per_phase=args.sweeps_per_phase,
+            num_cycles=args.num_cycles,
+            num_swapping_pairs=max(args.replicas // 4, 1),
+            global_beta=args.global_beta, temp_x=args.temp_x,
+            use_coloring=spec["coloring"], lbp_mode="dense",
+        )
+        ens = EnsembleNMC(probs, beta, doNMC, cfg)
     total_rounds = max(args.sweeps // sweeps_per_round, 1)
 
     t0 = time.perf_counter()
@@ -248,7 +259,7 @@ def run_arm(args):
                 seed=args.seed)
     print(f"# campaign {meta}", flush=True)
 
-    if args.arm in ("pt", "nmc"):
+    if args.arm in ("pt", "nmc", "icm"):
         pending = [(name, prob, gs) for name, prob, gs
                    in get_instances(spec, args.instances)
                    if name not in done]
@@ -268,7 +279,7 @@ def run_arm(args):
         atol_norm = max(1e-6 * abs(gs_raw), 1e-9) / norm_factor
         key = jax.random.PRNGKey(args.seed)
         t0 = time.perf_counter()
-        if args.arm == "icm":
+        if args.arm == "icm_host":
             cfg = APTICMConfig(
                 num_sweeps_MCMC=args.sweeps, num_sweeps_read=args.sweeps,
                 num_swap_attempts=args.swap_attempts,
@@ -306,7 +317,8 @@ def run_arm(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--family", required=True, choices=sorted(FAMILIES))
-    p.add_argument("--arm", required=True, choices=["pt", "nmc", "icm"])
+    p.add_argument("--arm", required=True,
+                   choices=["pt", "nmc", "icm", "icm_host"])
     p.add_argument("--instances", type=int, default=20)
     p.add_argument("--out", default=None)
     p.add_argument("--replicas", type=int, default=32)

@@ -306,3 +306,41 @@ class TestSpinShardedProduction:
         assert sorted(b2s.tolist()) == list(range(6))
         s2b = np.asarray(st.slot_to_beta)
         np.testing.assert_array_equal(s2b[b2s], np.arange(6))
+
+
+class TestEnsembleICM:
+    def test_batched_icm_finds_ground_states(self):
+        import itertools
+        from nmc_tpu.io.generators import random_sk
+        from nmc_tpu.parallel import EnsembleICM, EnsembleICMConfig
+        probs = [random_sk(10, seed=s).normalized()[0] for s in range(3)]
+        gs = []
+        for p in probs:
+            states = np.array(list(itertools.product([-1, 1], repeat=10)),
+                              float)
+            gs.append(float(p.energy(states).min()))
+        cfg = EnsembleICMConfig(sweeps_per_round=10, num_subreplicas=4,
+                                num_swapping_pairs=1, block_size=16)
+        ens = EnsembleICM(probs, np.geomspace(0.4, 3.0, 6), cfg)
+        state = ens.init_state(jax.random.PRNGKey(0))
+        state = ens.run_scanned(state, 25)
+        eb, mb = ens.best(state)
+        for i, p in enumerate(probs):
+            assert abs(float(p.energy(mb[i])) - eb[i]) < 1e-3
+            assert eb[i] <= gs[i] + 1e-4, f"instance {i}: {eb[i]} vs {gs[i]}"
+        assert int(np.asarray(state.icm_moves).sum()) > 0
+
+    def test_icm_label_permutations_valid(self):
+        from nmc_tpu.io.generators import ea_2d
+        from nmc_tpu.parallel import EnsembleICM, EnsembleICMConfig
+        probs = [ea_2d(4, seed=s) for s in range(2)]
+        cfg = EnsembleICMConfig(sweeps_per_round=4, num_subreplicas=4,
+                                num_swapping_pairs=2, block_size=8,
+                                use_coloring=True)
+        ens = EnsembleICM(probs, np.geomspace(0.3, 2.0, 5), cfg)
+        state = ens.init_state(jax.random.PRNGKey(1))
+        state = ens.run_scanned(state, 5)
+        b2s = np.asarray(state.beta_to_slot)
+        for i in range(2):
+            for s in range(4):
+                assert sorted(b2s[i, s].tolist()) == list(range(5))
