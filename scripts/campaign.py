@@ -88,62 +88,6 @@ def build_ladder(beta_min, beta_max, num_replicas):
     return np.concatenate([warm, cold])
 
 
-def solve_sharded(prob, gs_raw, args, spec):
-    """PT / NMC arm on the scan-fused ShardedNPT (single-chip mesh): chunks
-    of `args.chunk_rounds` swap rounds per dispatch, stopping at the first
-    chunk whose float64-verified best state reaches the shipped ground
-    state. Returns a result record dict."""
-    import time
-
-    import jax
-    import numpy as np
-    from nmc_tpu.parallel.sharded_pt import ShardedNPT, ShardedNPTConfig
-
-    norm_prob, norm_factor = prob.normalized()
-    gs_norm = gs_raw / norm_factor
-    atol_norm = max(1e-6 * abs(gs_raw), 1e-9) / norm_factor
-    slack = 1e-3 * max(abs(gs_norm), 1.0)
-
-    beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
-    cold = args.nmc_cold if args.arm == "nmc" else 0
-    doNMC = [False] * (args.replicas - cold) + [True] * cold
-    cfg = ShardedNPTConfig(
-        sweeps_per_phase=args.sweeps_per_phase, num_cycles=args.num_cycles,
-        num_swapping_pairs=max(args.replicas // 4, 1),
-        global_beta=args.global_beta, temp_x=args.temp_x,
-        use_coloring=spec["coloring"],
-    )
-    npt = ShardedNPT(norm_prob, beta, doNMC, cfg)
-    sweeps_per_round = args.num_cycles * 3 * args.sweeps_per_phase
-    total_rounds = max(args.sweeps // sweeps_per_round, 1)
-
-    t0 = time.perf_counter()
-    state = npt.init_state(jax.random.PRNGKey(args.seed))
-    rounds_done = 0
-    hit_seconds = hit_rounds = None
-    best64 = np.inf
-    while rounds_done < total_rounds:
-        k = min(args.chunk_rounds, total_rounds - rounds_done)
-        state, _ = npt.run_scanned(state, k)
-        rounds_done += k
-        e_best, m_best = npt.best(state)
-        best64 = min(best64, float(norm_prob.energy(m_best)))
-        if best64 <= gs_norm + atol_norm:
-            hit_seconds = time.perf_counter() - t0
-            hit_rounds = rounds_done
-            break
-    wall = time.perf_counter() - t0
-    return dict(
-        found_raw=float(best64 * norm_factor),
-        residual=float(best64 * norm_factor - gs_raw),
-        hit=hit_rounds is not None,
-        hit_seconds=hit_seconds,
-        hit_sweeps=hit_rounds * sweeps_per_round if hit_rounds else None,
-        rounds_completed=rounds_done, rounds_total=total_rounds,
-        per_swap=sweeps_per_round, wall_seconds=wall,
-    )
-
-
 def solve_ensemble_batch(pending, args, spec, meta, out_path):
     """ALL pending instances of a family solved in ONE batched SPMD program
     (EnsembleNMC): per-instance ground-state targets checked between
