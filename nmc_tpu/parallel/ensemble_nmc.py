@@ -44,6 +44,9 @@ class EnsembleNMCState(NamedTuple):
     round_index: jax.Array
     m_best: jax.Array        # [I, n_pad] best-ever state per instance
     e_best: jax.Array        # [I] best-ever energy per instance
+    cl: jax.Array            # [I, R, n_pad] carried backbone masks
+    do_nmc_slot: jax.Array   # [I, R] slots running NMC phases (frozen
+                             # between cluster refreshes)
 
 
 class EnsembleNMC:
@@ -142,6 +145,10 @@ class EnsembleNMC:
                                            self.h.dtype), inst),
             e_best=jax.device_put(jnp.full((self.I,), jnp.inf, self.h.dtype),
                                   inst),
+            cl=jax.device_put(jnp.zeros((self.I, self.R, self.n_pad), bool),
+                              inst),
+            do_nmc_slot=jnp.broadcast_to(self.do_nmc_by_beta,
+                                         (self.I, self.R)),
         )
 
     # ------------------------------------------------------------------
@@ -195,36 +202,41 @@ class EnsembleNMC:
         R, n_pad = self.R, self.n_pad
         dtype = self.h.dtype
 
+        def extract_clusters(J_rows, h, epsilon, m, s2b):
+            """Backbone masks for the k slots currently holding NMC labels
+            (one instance). LBP only for those k states; masks scattered
+            back by slot."""
+            J_full = J_rows.reshape(n_pad, n_pad)
+            act = jnp.broadcast_to(self.active, (R, n_pad))
+            do_nmc = self.do_nmc_by_beta[s2b]
+            k = int(self.doNMC.sum())
+            nmc_slots = jnp.argsort(do_nmc)[-k:]          # [k]
+            m_nmc = m[nmc_slots]                          # [k, n_pad]
+            marg = jax.vmap(
+                lambda ms: self._lbp_marginal(J_full, h, epsilon, ms)
+            )(m_nmc)
+            cl_k = backbone_mask_device(
+                marg, jnp.abs(J_full), cfg.threshold_initial,
+                cfg.threshold_cutoff, cfg.threshold_step,
+                active=act[:k])
+            cl = jnp.zeros((R, n_pad), bool).at[nmc_slots].set(cl_k) & act
+            return cl, do_nmc
+
         def one_instance(J_rows, J_diag, h, epsilon,
-                         m, b2s, s2b, mb, eb, key, round_index):
+                         m, b2s, s2b, mb, eb, cl, do_nmc,
+                         key, round_index):
             J_full = J_rows.reshape(n_pad, n_pad)
             k_dev = jax.random.fold_in(key, round_index)
             k_swap = jax.random.fold_in(k_dev, jnp.uint32(0xD00D))
 
+            # NMC slots sample at global_beta (the reference quirk,
+            # npt.py:126); plain slots at their CURRENT label's beta. The
+            # NMC-slot set is frozen between cluster refreshes (the
+            # backbone belongs to the chain's state, not its label).
             beta_local = self.beta_list[s2b]
-            do_nmc = self.do_nmc_by_beta[s2b]
             base_row = jnp.where(do_nmc, jnp.asarray(cfg.global_beta, dtype),
                                  beta_local.astype(dtype))[:, None]
             act = jnp.broadcast_to(self.active, (R, n_pad))
-
-            if self.any_nmc:
-                # LBP only for the k NMC slots (k is static = count of True
-                # in doNMC; which SLOTS those are changes as labels swap, so
-                # gather by sorted do_nmc membership and scatter masks back)
-                k = int(self.doNMC.sum())
-                nmc_slots = jnp.argsort(do_nmc)[-k:]          # [k]
-                m_nmc = m[nmc_slots]                          # [k, n_pad]
-                marg = jax.vmap(
-                    lambda ms: self._lbp_marginal(J_full, h, epsilon, ms)
-                )(m_nmc)
-                cl_k = backbone_mask_device(
-                    marg, jnp.abs(J_full), cfg.threshold_initial,
-                    cfg.threshold_cutoff, cfg.threshold_step,
-                    active=act[:k])
-                cl = jnp.zeros((R, n_pad), bool).at[nmc_slots].set(cl_k)
-                cl = cl & act
-            else:
-                cl = act
 
             def phase(mm, kk, beta_spin, mask):
                 phi = jnp.matmul(mm, J_full, precision=cfg.precision) + h
@@ -271,16 +283,32 @@ class EnsembleNMC:
             return m, swap.beta_to_slot, swap.slot_to_beta, mb, eb
 
         def _round(J_rows, J_diag, h, epsilon, state: EnsembleNMCState):
+            if self.any_nmc:
+                # refresh backbone masks every lbp_every rounds — the
+                # predicate is unbatched, so the cond stays a real branch
+                # (LBP cost only paid on refresh rounds)
+                refresh = (state.round_index % cfg.lbp_every) == 0
+                cl, do_nmc = jax.lax.cond(
+                    refresh,
+                    lambda: jax.vmap(extract_clusters)(
+                        J_rows, h, epsilon, state.m, state.slot_to_beta),
+                    lambda: (state.cl, state.do_nmc_slot))
+            else:
+                cl = state.cl
+                do_nmc = state.do_nmc_slot
             keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
                 jnp.arange(self.I))
             m, b2s, s2b, mb, eb = jax.vmap(
-                one_instance, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None)
+                one_instance,
+                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None)
             )(J_rows, J_diag, h, epsilon, state.m,
               state.beta_to_slot, state.slot_to_beta,
-              state.m_best, state.e_best, keys, state.round_index)
+              state.m_best, state.e_best, cl, do_nmc,
+              keys, state.round_index)
             return EnsembleNMCState(
                 m=m, beta_to_slot=b2s, slot_to_beta=s2b, key=state.key,
-                round_index=state.round_index + 1, m_best=mb, e_best=eb)
+                round_index=state.round_index + 1, m_best=mb, e_best=eb,
+                cl=cl, do_nmc_slot=do_nmc)
 
         return _round
 

@@ -59,6 +59,10 @@ class ShardedNPTConfig:
     lambda_reduction_factor: float = 0.5   # short ladder: jit-friendly default
     lbp_max_iterations: int = 30
     lbp_tolerance: float = 1e-7
+    lbp_every: int = 1       # recompute backbone clusters every K rounds
+                             # (EnsembleNMC; the reference's cadence is one
+                             # LBP per swap round, npt.py:397-414 — short
+                             # TTS-granularity rounds can refresh less often)
     lbp_mode: str = "auto"   # 'dense' | 'sparse' | 'auto' (sparse above 1024
                              # spins: dense [N,N] messages blow memory)
     block_size: int = 128

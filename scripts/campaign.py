@@ -130,6 +130,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
             num_swapping_pairs=max(args.replicas // 4, 1),
             global_beta=args.global_beta, temp_x=args.temp_x,
             use_coloring=spec["coloring"], lbp_mode="dense",
+            lbp_every=args.lbp_every,
         )
         ens = EnsembleNMC(probs, beta, doNMC, cfg)
     total_rounds = max(args.sweeps // sweeps_per_round, 1)
@@ -199,6 +200,7 @@ def run_arm(args):
                 sweeps_per_phase=args.sweeps_per_phase,
                 chunk_rounds=args.chunk_rounds,
                 nmc_cold=args.nmc_cold, global_beta=args.global_beta,
+                lbp_every=args.lbp_every,
                 num_cycles=args.num_cycles, temp_x=args.temp_x,
                 seed=args.seed)
     print(f"# campaign {meta}", flush=True)
@@ -272,6 +274,7 @@ def main():
     p.add_argument("--swap-attempts", type=int, default=100)
     p.add_argument("--sweeps-per-phase", type=int, default=64)
     p.add_argument("--chunk-rounds", type=int, default=50)
+    p.add_argument("--lbp-every", type=int, default=8)
     p.add_argument("--nmc-cold", type=int, default=6)
     p.add_argument("--global-beta", type=float, default=8.0)
     p.add_argument("--num-cycles", type=int, default=3)
