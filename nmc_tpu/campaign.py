@@ -1,0 +1,310 @@
+"""Solution-quality campaign over the reference's shipped ground truths.
+
+Runs a solver arm (plain PT / NPT+NMC / APT+ICM) over a benchmark family
+(chimera512/1152/2048, DCL C8/C16, wishart) with per-instance
+time-to-solution measurement: each run carries target_energy and stops as
+soon as the shipped ground-state energy is reached, so one capped run per
+instance yields the hit/miss outcome at EVERY budget up to the cap.
+
+Resumable: results stream to a JSONL file; instances already present are
+skipped, so the campaign can be re-launched after interruption.
+
+Usage (CLI subcommand or module):
+  python -m nmc_tpu campaign --family chimera512 --arm nmc --instances 20
+Custom folders: --kind chimera --folder /path/to/instances
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+FAMILIES = {
+    "chimera128": dict(
+        kind="chimera",
+        folder="/root/reference/NMC/examples/Chimera_droplet_instances/chimera128_spinglass_power",
+        coloring=True),
+    "chimera512": dict(
+        kind="chimera",
+        folder="/root/reference/NMC/examples/Chimera_droplet_instances/chimera512_spinglass_power",
+        coloring=True),
+    "chimera1152": dict(
+        kind="chimera",
+        folder="/root/reference/NMC/examples/Chimera_droplet_instances/chimera1152_spinglass_power",
+        coloring=True),
+    "chimera2048": dict(
+        kind="chimera",
+        folder="/root/reference/NMC/examples/Chimera_droplet_instances/chimera2048_spinglass_power",
+        coloring=True),
+    "dcl8": dict(
+        kind="dcl",
+        folder="/root/reference/NMC/examples/DCL_instances/C8",
+        coloring=True),
+    "dcl16": dict(
+        kind="dcl",
+        folder="/root/reference/NMC/examples/DCL_instances/C16",
+        coloring=True),
+    "wishart_n32_a0.50": dict(
+        kind="wishart",
+        folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_32_alpha_0.50",
+        coloring=False),
+    "wishart_n40_a0.50": dict(
+        kind="wishart",
+        folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.50",
+        coloring=False),
+    "wishart_n40_a0.25": dict(
+        kind="wishart",
+        folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.25",
+        coloring=False),
+    "wishart_n40_a0.75": dict(
+        kind="wishart",
+        folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.75",
+        coloring=False),
+    "wishart_n50_a0.50": dict(
+        kind="wishart",
+        folder="/root/reference/NMC/examples/wishart_small/wishart_planting_N_50_alpha_0.50",
+        coloring=False),
+}
+
+
+def get_instances(spec, limit):
+    from . import evaluation as ev
+    it = {"chimera": ev.chimera_folder_instances,
+          "dcl": ev.dcl_folder_instances,
+          "wishart": ev.wishart_folder_instances}[spec["kind"]]
+    return it(spec["folder"], limit=limit)
+
+
+def build_ladder(beta_min, beta_max, num_replicas):
+    """Geometric warm half + geometric cold half (denser near beta_max)."""
+    half = num_replicas // 2
+    warm = np.geomspace(beta_min, 3.0, half, endpoint=False)
+    cold = np.geomspace(3.0, beta_max, num_replicas - half)
+    return np.concatenate([warm, cold])
+
+
+def solve_ensemble_batch(pending, args, spec, meta, out_path):
+    """ALL pending instances of a family solved in ONE batched SPMD program
+    (EnsembleNMC): per-instance ground-state targets checked between
+    scanned chunks; an instance's TTS is the shared wall clock at its first
+    verified hit (the whole batch co-runs on the chip, which is the honest
+    production-throughput setting). Streams one JSONL record per instance."""
+    import time
+
+    import jax
+    from .parallel.ensemble_nmc import EnsembleNMC
+    from .parallel.sharded_pt import ShardedNPTConfig
+
+    names = [name for name, _, _ in pending]
+    probs, factors, gs_norm, atol_norm = [], [], [], []
+    for _, prob, gs_raw in pending:
+        np_, f = prob.normalized()
+        probs.append(np_)
+        factors.append(f)
+        gs_norm.append(gs_raw / f)
+        atol_norm.append(max(1e-6 * abs(gs_raw), 1e-9) / f)
+    I = len(probs)
+
+    beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
+    sweeps_per_round = args.num_cycles * 3 * args.sweeps_per_phase
+    if args.arm == "icm":
+        from .parallel import EnsembleICM, EnsembleICMConfig
+        cfg = EnsembleICMConfig(
+            sweeps_per_round=sweeps_per_round,
+            num_subreplicas=args.subreplicas,
+            num_swapping_pairs=max(args.replicas // 4, 1),
+            use_coloring=spec["coloring"],
+        )
+        ens = EnsembleICM(probs, beta, cfg)
+    else:
+        cold = args.nmc_cold if args.arm == "nmc" else 0
+        doNMC = [False] * (args.replicas - cold) + [True] * cold
+        cfg = ShardedNPTConfig(
+            sweeps_per_phase=args.sweeps_per_phase,
+            num_cycles=args.num_cycles,
+            num_swapping_pairs=max(args.replicas // 4, 1),
+            global_beta=args.global_beta, temp_x=args.temp_x,
+            use_coloring=spec["coloring"], lbp_mode="dense",
+            lbp_every=args.lbp_every,
+        )
+        ens = EnsembleNMC(probs, beta, doNMC, cfg)
+    total_rounds = max(args.sweeps // sweeps_per_round, 1)
+
+    t0 = time.perf_counter()
+    state = ens.init_state(jax.random.PRNGKey(args.seed))
+    rounds_done = 0
+    hit_at = {}           # name -> (rounds, seconds)
+    best64 = np.full(I, np.inf)
+    while rounds_done < total_rounds and len(hit_at) < I:
+        k = min(args.chunk_rounds, total_rounds - rounds_done)
+        state = ens.run_scanned(state, k)
+        rounds_done += k
+        eb, mb = ens.best(state)
+        now = time.perf_counter() - t0
+        for i in range(I):
+            if names[i] in hit_at:
+                continue
+            best64[i] = min(best64[i], float(probs[i].energy(mb[i])))
+            if best64[i] <= gs_norm[i] + atol_norm[i]:
+                hit_at[names[i]] = (rounds_done, now)
+                print(f"  hit {names[i]} at round {rounds_done} "
+                      f"({now:.1f}s)", flush=True)
+    wall = time.perf_counter() - t0
+
+    for i, name in enumerate(names):
+        hit = name in hit_at
+        rec = dict(
+            name=name, n=probs[i].n,
+            gs_raw=float(gs_norm[i] * factors[i]),
+            found_raw=float(best64[i] * factors[i]),
+            residual=float((best64[i] - gs_norm[i]) * factors[i]),
+            hit=hit,
+            hit_seconds=hit_at[name][1] if hit else None,
+            hit_sweeps=hit_at[name][0] * sweeps_per_round if hit else None,
+            rounds_completed=rounds_done, rounds_total=total_rounds,
+            per_swap=sweeps_per_round, wall_seconds=wall,
+            meta=dict(meta, mode="ensemble", batch=I),
+        )
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"{name}: hit={hit} residual={rec['residual']:.4f} "
+              f"rounds={rounds_done}/{total_rounds}", flush=True)
+
+
+def run_arm(args):
+    import jax
+    from . import APTICMConfig, apt_icm_run
+    from .utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
+
+    if getattr(args, "folder", None):
+        spec = dict(kind=args.kind, folder=args.folder,
+                    coloring=args.kind in ("chimera", "dcl"))
+    else:
+        spec = FAMILIES[args.family]
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    done = set()
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["name"])
+                except Exception:
+                    pass
+
+    beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
+    meta = dict(family=args.family, arm=args.arm, replicas=args.replicas,
+                beta_min=args.beta_min, beta_max=args.beta_max,
+                sweeps=args.sweeps, swap_attempts=args.swap_attempts,
+                sweeps_per_phase=args.sweeps_per_phase,
+                chunk_rounds=args.chunk_rounds,
+                nmc_cold=args.nmc_cold, global_beta=args.global_beta,
+                lbp_every=args.lbp_every,
+                num_cycles=args.num_cycles, temp_x=args.temp_x,
+                seed=args.seed)
+    print(f"# campaign {meta}", flush=True)
+
+    if args.arm in ("pt", "nmc", "icm"):
+        pending = [(name, prob, gs) for name, prob, gs
+                   in get_instances(spec, args.instances)
+                   if name not in done]
+        if not pending:
+            print("all instances done", flush=True)
+            return
+        print(f"batched ensemble solve: {len(pending)} instances", flush=True)
+        solve_ensemble_batch(pending, args, spec, meta, args.out)
+        return
+
+    for name, prob, gs_raw in get_instances(spec, args.instances):
+        if name in done:
+            print(f"skip {name} (done)", flush=True)
+            continue
+        norm_factor = float(np.max(np.abs(prob.J))) or 1.0
+        gs_norm = gs_raw / norm_factor
+        atol_norm = max(1e-6 * abs(gs_raw), 1e-9) / norm_factor
+        key = jax.random.PRNGKey(args.seed)
+        t0 = time.perf_counter()
+        if args.arm == "icm_host":
+            cfg = APTICMConfig(
+                num_sweeps_MCMC=args.sweeps, num_sweeps_read=args.sweeps,
+                num_swap_attempts=args.swap_attempts,
+                num_swapping_pairs=max(args.replicas // 4, 1),
+                num_subreplicas=args.subreplicas,
+                use_coloring=spec["coloring"], normalize=True,
+                device_icm=args.device_icm,
+                target_energy=gs_norm, target_atol=atol_norm,
+            )
+            res = apt_icm_run(prob, beta, cfg, key)
+            rounds_total = args.swap_attempts
+        else:
+            raise SystemExit(f"unknown arm {args.arm}")
+        wall = time.perf_counter() - t0
+        per_swap = args.sweeps // args.swap_attempts
+        rec = dict(
+            name=name, n=prob.n, gs_raw=float(gs_raw),
+            found_raw=float(res.min_energy * norm_factor),
+            residual=float(res.min_energy * norm_factor - gs_raw),
+            hit=bool(res.hit_round is not None),
+            hit_seconds=res.hit_seconds,
+            hit_sweeps=(res.hit_round + 1) * per_swap
+            if res.hit_round is not None else None,
+            rounds_completed=int(res.rounds_completed),
+            rounds_total=rounds_total, per_swap=per_swap,
+            wall_seconds=wall, meta=meta,
+        )
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"{name}: hit={rec['hit']} residual={rec['residual']:.4f} "
+              f"rounds={rec['rounds_completed']}/{rounds_total} "
+              f"wall={wall:.1f}s", flush=True)
+
+
+def add_campaign_args(p):
+    p.add_argument("--family", choices=sorted(FAMILIES))
+    p.add_argument("--kind", choices=["chimera", "dcl", "wishart"],
+                   help="instance dialect for --folder")
+    p.add_argument("--folder", help="custom instance folder (overrides --family)")
+    p.add_argument("--arm", required=True,
+                   choices=["pt", "nmc", "icm", "icm_host"])
+    p.add_argument("--instances", type=int, default=20)
+    p.add_argument("--out", default=None)
+    p.add_argument("--replicas", type=int, default=32)
+    p.add_argument("--beta-min", type=float, default=0.25)
+    p.add_argument("--beta-max", type=float, default=32.0)
+    p.add_argument("--sweeps", type=int, default=1_600_000)
+    p.add_argument("--swap-attempts", type=int, default=100)
+    p.add_argument("--sweeps-per-phase", type=int, default=64)
+    p.add_argument("--chunk-rounds", type=int, default=50)
+    p.add_argument("--lbp-every", type=int, default=8)
+    p.add_argument("--nmc-cold", type=int, default=6)
+    p.add_argument("--global-beta", type=float, default=8.0)
+    p.add_argument("--num-cycles", type=int, default=3)
+    p.add_argument("--temp-x", type=float, default=20.0)
+    p.add_argument("--subreplicas", type=int, default=10)
+    p.add_argument("--device-icm", action="store_true", default=True)
+    p.add_argument("--no-device-icm", dest="device_icm", action="store_false")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def run_campaign(args):
+    if not args.family and not args.folder:
+        raise SystemExit("provide --family or --folder + --kind")
+    if args.folder and not args.kind:
+        raise SystemExit("--folder requires --kind")
+    if args.out is None:
+        tag = args.family or os.path.basename(args.folder.rstrip("/"))
+        args.out = f"results/campaign/{tag}_{args.arm}.jsonl"
+    run_arm(args)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    add_campaign_args(p)
+    run_campaign(p.parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -353,6 +353,14 @@ def main(argv=None):
                         "(normalized units)")
     p.set_defaults(fn=cmd_sharded)
 
+    p = sub.add_parser(
+        "campaign",
+        help="batched solution-quality campaign over a benchmark family "
+             "(per-instance time-to-solution vs shipped ground truths)")
+    from .campaign import add_campaign_args, run_campaign
+    add_campaign_args(p)
+    p.set_defaults(fn=run_campaign)
+
     p = sub.add_parser("generate", help="write benchmark instances")
     p.add_argument("--kind", required=True,
                    choices=["sk", "ea2d", "ea3d", "wishart", "contrived",
