@@ -98,9 +98,17 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     from .parallel.ensemble_nmc import EnsembleNMC
     from .parallel.sharded_pt import ShardedNPTConfig
 
+    from .parallel.ensemble_nmc import _pad_problem
+
     names = [name for name, _, _ in pending]
+    # pad to the family max BEFORE normalization so the host-side f64
+    # verification sees the same shapes as the engine (padded spins are
+    # free: zero couplings and field, zero energy contribution)
+    n_max = max(prob.n for _, prob, _ in pending)
     probs, factors, gs_norm, atol_norm = [], [], [], []
     for _, prob, gs_raw in pending:
+        if prob.n != n_max:
+            prob = _pad_problem(prob, n_max)
         np_, f = prob.normalized()
         probs.append(np_)
         factors.append(f)
