@@ -275,8 +275,10 @@ def add_campaign_args(p):
     p.add_argument("--kind", choices=["chimera", "dcl", "wishart"],
                    help="instance dialect for --folder")
     p.add_argument("--folder", help="custom instance folder (overrides --family)")
-    p.add_argument("--arm", required=True,
-                   choices=["pt", "nmc", "icm", "icm_host"])
+    p.add_argument("--arm", choices=["pt", "nmc", "icm", "icm_host"])
+    p.add_argument("--summarize", nargs="+", metavar="JSONL",
+                   help="render a summary table from campaign result files "
+                        "instead of running")
     p.add_argument("--instances", type=int, default=20)
     p.add_argument("--out", default=None)
     p.add_argument("--replicas", type=int, default=32)
@@ -298,6 +300,11 @@ def add_campaign_args(p):
 
 
 def run_campaign(args):
+    if args.summarize:
+        summarize(args.summarize)
+        return
+    if not args.arm:
+        raise SystemExit("provide --arm (or --summarize)")
     if not args.family and not args.folder:
         raise SystemExit("provide --family or --folder + --kind")
     if args.folder and not args.kind:
@@ -316,3 +323,42 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def summarize(paths):
+    """Render a per-(family, arm) summary table from campaign JSONL files:
+    hit rate, TTS quantiles over hits, residual quantiles over misses."""
+    rows = []
+    for path in paths:
+        rs = [json.loads(l) for l in open(path)]
+        if not rs:
+            continue
+        meta = rs[0].get("meta", {})
+        hits = [r for r in rs if r["hit"]]
+        tts = sorted(r["hit_seconds"] for r in hits)
+        miss = sorted(abs(r["residual"]) / abs(r["gs_raw"]) * 100
+                      for r in rs if not r["hit"])
+
+        def q(xs, p):
+            return xs[min(int(p * len(xs)), len(xs) - 1)] if xs else None
+
+        rows.append(dict(
+            family=meta.get("family", os.path.basename(path)),
+            arm=meta.get("arm", "?"), n=rs[0]["n"], instances=len(rs),
+            hits=len(hits),
+            sweeps_budget=meta.get("sweeps"),
+            tts_p50=q(tts, 0.5), tts_p90=q(tts, 0.9),
+            miss_res_p50=q(miss, 0.5), miss_res_max=q(miss, 1.0),
+        ))
+    fmt = ("| {family} | {arm} | {n} | {hits}/{instances} | "
+           "{sweeps_budget} | {tts_p50} | {tts_p90} | "
+           "{miss_res_p50} | {miss_res_max} |")
+    print("| family | arm | N | GS hits | sweep budget | TTS p50 (s) | "
+          "TTS p90 (s) | miss residual p50 (%) | max (%) |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        r = {k: (round(v, 2) if isinstance(v, float) else v)
+             for k, v in r.items()}
+        print(fmt.format(**{k: ("—" if v is None else v)
+                            for k, v in r.items()}))
+    return rows
