@@ -102,3 +102,50 @@ def plot_beta_sigma(beta, sigma, filename="beta_sigma.png"):
     ax2.legend(loc="upper right")
     fig.savefig(filename)
     plt.close(fig)
+
+
+def plot_campaign(jsonl_paths, out_png="campaign.png"):
+    """Per-(family, arm) time-to-solution curves and miss residuals from
+    campaign JSONL files (the round-2 analogue of the reference's
+    plot_results artifacts): left panel, fraction of instances solved vs
+    wall-clock; right panel, per-instance relative residuals for misses."""
+    import json
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.2))
+    labels = []
+    for path in jsonl_paths:
+        rs = [json.loads(l) for l in open(path)]
+        if not rs:
+            continue
+        meta = rs[0].get("meta", {})
+        label = f"{meta.get('family', '?')}/{meta.get('arm', '?')}"
+        labels.append(label)
+        tts = sorted(r["hit_seconds"] for r in rs if r["hit"])
+        n = len(rs)
+        if tts:
+            xs = [0.0] + tts
+            ys = [0.0] + [(i + 1) / n for i in range(len(tts))]
+            ax1.step(xs, ys, where="post", label=label)
+        miss = sorted(abs(r["residual"]) / abs(r["gs_raw"]) * 100
+                      for r in rs if not r["hit"])
+        if miss:
+            ax2.plot(range(1, len(miss) + 1), miss, "o-", label=label,
+                     markersize=3)
+    ax1.set_xlabel("wall-clock (s, shared ensemble)")
+    ax1.set_ylabel("fraction of instances at ground state")
+    ax1.set_ylim(0, 1.02)
+    ax1.legend(fontsize=7)
+    ax1.set_title("time-to-solution")
+    ax2.set_xlabel("instance rank")
+    ax2.set_ylabel("residual above ground state (%)")
+    ax2.set_yscale("log")
+    ax2.legend(fontsize=7)
+    ax2.set_title("miss residuals")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=130)
+    plt.close(fig)
+    return out_png

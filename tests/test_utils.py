@@ -191,3 +191,18 @@ class TestAPTCheckpoint:
         # final schedule as the uninterrupted run
         np.testing.assert_allclose(resumed.beta, full.beta)
         np.testing.assert_allclose(resumed.sigma, full.sigma)
+
+
+def test_plot_campaign(tmp_path):
+    import json
+    from nmc_tpu.utils.plotting import plot_campaign
+    p = tmp_path / "fam_pt.jsonl"
+    recs = [
+        dict(name="a", hit=True, hit_seconds=1.5, residual=0.0, gs_raw=-10.0,
+             meta=dict(family="fam", arm="pt")),
+        dict(name="b", hit=False, hit_seconds=None, residual=0.2,
+             gs_raw=-10.0, meta=dict(family="fam", arm="pt")),
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in recs))
+    out = plot_campaign([str(p)], str(tmp_path / "c.png"))
+    assert os.path.getsize(out) > 0
