@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: one FULL ensemble-NMC round per pallas_call.
+
+The campaign engine (parallel/ensemble_nmc.py) runs, per swap round and
+per instance, 3*num_cycles masked/heated Gibbs phases of sweeps_per_phase
+sweeps each.  Doing that through the XLA scan path costs a handful of
+small kernel launches per sweep, which dominates wall clock at
+chimera-512 scale (~2.9e9 attempts/s measured for the 20-instance
+ensemble vs ~1e11 for the resident single-problem kernel).
+
+This kernel runs the ENTIRE round in one grid step per instance:
+
+  grid = (num_instances,)
+  - J for the instance is DMA'd to VMEM once per round (pipelined with
+    the previous instance's compute by the Pallas grid machinery);
+  - chain states m / local fields phi stay VMEM-resident across all
+    phases of the round;
+  - the NMC phase structure of the reference
+    (/root/reference/NPT/npt.py:357-477 — heated backbone phase, frozen
+    backbone phase, full update every full_update_frequency cycles) is
+    statically unrolled: per-slot update masks and per-spin heated betas
+    are rebuilt in VMEM from the backbone mask `cl` and the NMC-slot
+    flags at each phase boundary;
+  - NMC slots jump to their per-phase best state at every phase end
+    (reference keeps M_overall_best per phase, npt.py:427-447), plain PT
+    slots carry their end state;
+  - per-slot best-over-round (energy at sweep ends) and the carried-state
+    energies for the replica-exchange Metropolis test are returned.
+
+Exactness: within a phase this is the same colored block-Jacobi heat-bath
+as ops/sweeps_pallas.py (exact Gibbs when blocks are independent sets);
+semantics vs the XLA round body are covered by tests/test_round_pallas.py
+in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweeps_pallas import _seed2
+
+
+class EnsembleRoundResult(NamedTuple):
+    m: jax.Array          # [I, R, n_pad] carried states after the round
+    m_best: jax.Array     # [I, R, n_pad] best state per slot over the round
+    e_best: jax.Array     # [I, R] best sweep-end energy per slot
+    e_carried: jax.Array  # [I, R] energy of the carried state (swap test)
+
+
+def _phase_list(num_cycles: int, full_update_frequency: int):
+    phases = []
+    for cycle in range(num_cycles):
+        phases.append("C")
+        phases.append("NC")
+        if cycle % full_update_frequency == 0:
+            phases.append("ALL")
+    return tuple(phases)
+
+
+def _round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
+                  temp_x_inv, R, n_pad,
+                  seed_ref,                                     # SMEM [2]
+                  J_ref, h_ref, act_ref, cl_ref, dn_ref, beta_ref,
+                  m_in_ref,                                     # VMEM in
+                  m_ref, mb_ref, eb_ref, ec_ref,                # VMEM out
+                  phi, mpb, ppb, epb, bsb, mkb):                # scratch
+    g = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
+
+    B = block_size
+    h = h_ref[0, 0]       # [n_pad]
+    act = act_ref[0, 0]   # [n_pad] f32
+    dn = dn_ref[0]        # [R, 1] f32 (1 = NMC slot)
+    beta = beta_ref[0]    # [R, 1] slot sampling beta
+
+    m_ref[0] = m_in_ref[0]
+    # phi = m @ J + h, accumulated row-block by row-block (J symmetric)
+    phi[:] = jnp.broadcast_to(h, (R, n_pad))
+    for b in range(num_blocks):
+        s = b * B
+        phi[:] = phi[:] + jnp.dot(m_ref[0, :, s:s + B], J_ref[0, s:s + B, :],
+                                  preferred_element_type=jnp.float32)
+
+    eb_ref[0] = jnp.full((R, 1), jnp.inf, jnp.float32)
+    mb_ref[0] = m_ref[0]
+
+    for ph in phases:     # static unroll over the reference phase cycle
+        cl = cl_ref[0]    # [R, n_pad] f32 backbone mask (re-read per phase)
+        if ph == "C":     # heated backbone phase: only cluster spins move
+            mkb[:] = dn * (cl * act) + (1.0 - dn) * act
+            bsb[:] = 1.0 + dn * cl * jnp.float32(temp_x_inv - 1.0)
+        elif ph == "NC":  # frozen backbone phase: only non-cluster spins
+            mkb[:] = dn * ((1.0 - cl) * act) + (1.0 - dn) * act
+            bsb[:] = jnp.ones((R, n_pad), jnp.float32)
+        else:             # ALL
+            mkb[:] = jnp.broadcast_to(act, (R, n_pad))
+            bsb[:] = jnp.ones((R, n_pad), jnp.float32)
+
+        epb[:] = jnp.full((R, 1), jnp.inf, jnp.float32)
+
+        def one_sweep(t, _):
+            for b in range(num_blocks):
+                s = b * B
+                bits = pltpu.prng_random_bits((R, B))
+                bits24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
+                u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+                xb = phi[:, s:s + B]
+                mb = m_ref[0, :, s:s + B]
+                betab = beta * bsb[:, s:s + B]
+                p_up = 0.5 * (1.0 + jnp.tanh(betab * xb))
+                new = jnp.where(u < p_up, 1.0, -1.0).astype(jnp.float32)
+                new = jnp.where(mkb[:, s:s + B] > 0, new, mb)
+                dm = new - mb
+                phi[:] = phi[:] + jnp.dot(
+                    dm, J_ref[0, s:s + B, :],
+                    preferred_element_type=jnp.float32)
+                m_ref[0, :, s:s + B] = new
+            e = -0.5 * jnp.sum(m_ref[0] * (phi[:] + h),
+                               axis=1, keepdims=True)      # [R, 1]
+            better = e < epb[:]
+            epb[:] = jnp.where(better, e, epb[:])
+            mpb[:] = jnp.where(better, m_ref[0], mpb[:])
+            ppb[:] = jnp.where(better, phi[:], ppb[:])
+            return 0
+
+        jax.lax.fori_loop(0, sweeps_per_phase, one_sweep, 0)
+
+        # NMC slots carry their per-phase best (reference npt.py:427-447)
+        jump = dn > 0
+        m_ref[0] = jnp.where(jump, mpb[:], m_ref[0])
+        phi[:] = jnp.where(jump, ppb[:], phi[:])
+        better = epb[:] < eb_ref[0]
+        eb_ref[0] = jnp.where(better, epb[:], eb_ref[0])
+        mb_ref[0] = jnp.where(better, mpb[:], mb_ref[0])
+
+    ec_ref[0] = -0.5 * jnp.sum(m_ref[0] * (phi[:] + h),
+                               axis=1, keepdims=True)
+
+
+def round_kernel_vmem_bytes(n_pad: int, R: int) -> int:
+    """Rough per-grid-step VMEM footprint (J + 8 [R, n_pad] f32 buffers)."""
+    return 4 * n_pad * n_pad + 8 * 4 * R * n_pad + 6 * 4 * n_pad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_cycles", "sweeps_per_phase",
+                     "full_update_frequency", "temp_x_inv", "block_size",
+                     "interpret"),
+)
+def pallas_ensemble_round(
+    J,          # [I, n_pad, n_pad] f32 (blocked colored layout, symmetric)
+    h,          # [I, n_pad]
+    act,        # [n_pad] activity mask (1 = real spin)
+    m0,         # [I, R, n_pad] in {-1, +1}
+    cl,         # [I, R, n_pad] backbone masks (bool or 0/1)
+    do_nmc,     # [I, R] NMC-slot flags (bool or 0/1)
+    beta_row,   # [I, R] slot sampling beta (global_beta already applied
+                #        to NMC slots by the caller)
+    seed,       # int32 scalar or [2]
+    *,
+    num_cycles: int,
+    sweeps_per_phase: int,
+    full_update_frequency: int = 1,
+    temp_x_inv: float = 1.0 / 20.0,
+    block_size: int = 128,
+    interpret: bool = False,
+) -> EnsembleRoundResult:
+    I, R, n_pad = m0.shape
+    if n_pad % block_size:
+        raise ValueError("n_pad must be a multiple of block_size")
+    num_blocks = n_pad // block_size
+    phases = _phase_list(num_cycles, full_update_frequency)
+
+    kern = functools.partial(_round_kernel, phases, sweeps_per_phase,
+                             num_blocks, block_size, temp_x_inv, R, n_pad)
+    vm = pltpu.VMEM
+    jspec = pl.BlockSpec((1, n_pad, n_pad), lambda g, *_: (g, 0, 0),
+                         memory_space=vm)
+    # h/act as [*, 1, n_pad]: a (1, n_pad) trailing block satisfies the
+    # Mosaic (8, 128)-or-full-dim tiling rule where (1, n_pad) 2-D can't
+    hspec = pl.BlockSpec((1, 1, n_pad), lambda g, *_: (g, 0, 0),
+                         memory_space=vm)
+    aspec = pl.BlockSpec((1, 1, n_pad), lambda g, *_: (0, 0, 0),
+                         memory_space=vm)
+    rspec = pl.BlockSpec((1, R, n_pad), lambda g, *_: (g, 0, 0),
+                         memory_space=vm)
+    sspec = pl.BlockSpec((1, R, 1), lambda g, *_: (g, 0, 0), memory_space=vm)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # seed
+        grid=(I,),
+        in_specs=[jspec, hspec, aspec, rspec, sspec, sspec, rspec],
+        out_specs=(rspec, rspec, sspec, sspec),
+        scratch_shapes=[
+            pltpu.VMEM((R, n_pad), jnp.float32),   # phi
+            pltpu.VMEM((R, n_pad), jnp.float32),   # m phase-best
+            pltpu.VMEM((R, n_pad), jnp.float32),   # phi phase-best
+            pltpu.VMEM((R, 1), jnp.float32),       # e phase-best
+            pltpu.VMEM((R, n_pad), jnp.float32),   # per-spin beta mult
+            pltpu.VMEM((R, n_pad), jnp.float32),   # update mask
+        ],
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((I, R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((I, R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((I, R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((I, R, 1), jnp.float32),
+    )
+    m, m_best, e_best, e_carried = pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes,
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        _seed2(seed),
+        jnp.asarray(J, jnp.float32),
+        jnp.asarray(h, jnp.float32).reshape(I, 1, n_pad),
+        jnp.asarray(act, jnp.float32).reshape(1, 1, n_pad),
+        jnp.asarray(cl, jnp.float32),
+        jnp.asarray(do_nmc, jnp.float32).reshape(I, R, 1),
+        jnp.asarray(beta_row, jnp.float32).reshape(I, R, 1),
+        jnp.asarray(m0, jnp.float32),
+    )
+    return EnsembleRoundResult(m=m, m_best=m_best,
+                               e_best=e_best[..., 0],
+                               e_carried=e_carried[..., 0])

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.problem import IsingProblem, block_problem
 from ..ops.clusters import backbone_mask_device
 from ..ops.lbp import lambda_ladder
+from ..ops.round_pallas import pallas_ensemble_round, round_kernel_vmem_bytes
 from ..ops.sweeps import run_sweeps
 from .sharded_pt import ShardedNPTConfig
 from .swaps import metropolis_label_swap
@@ -126,6 +127,21 @@ class EnsembleNMC:
         self.ladder = tuple(lambda_ladder(cfg.lambda_start, cfg.lambda_end,
                                           cfg.lambda_reduction_factor))
         self._scan_jit = {}
+
+        # whole-round Pallas kernel (ops/round_pallas.py): one pallas_call
+        # per round per instance-grid, states VMEM-resident across all
+        # phases — replaces the per-sweep XLA op stream. Requires the
+        # colored (Jacobi-exact) layout, f32, sublane-aligned R, and J +
+        # state buffers fitting VMEM.
+        fits = (blocked[0].colored and self.R % 8 == 0
+                and dtype == jnp.float32
+                and round_kernel_vmem_bytes(self.n_pad, self.R)
+                <= 12 * 2 ** 20)
+        backend = jax.default_backend()
+        self._round_interpret = backend == "cpu"
+        self._use_round_kernel = fits and (
+            cfg.round_kernel == "on"
+            or (cfg.round_kernel == "auto" and backend != "cpu"))
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> EnsembleNMCState:
@@ -282,20 +298,103 @@ class EnsembleNMC:
                 num_pairs=cfg.num_swapping_pairs)
             return m, swap.beta_to_slot, swap.slot_to_beta, mb, eb
 
-        def _round(J_rows, J_diag, h, epsilon, state: EnsembleNMCState):
+        def _refresh(J_rows, h, epsilon, state: EnsembleNMCState):
             if self.any_nmc:
                 # refresh backbone masks every lbp_every rounds — the
                 # predicate is unbatched, so the cond stays a real branch
                 # (LBP cost only paid on refresh rounds)
                 refresh = (state.round_index % cfg.lbp_every) == 0
-                cl, do_nmc = jax.lax.cond(
+                return jax.lax.cond(
                     refresh,
                     lambda: jax.vmap(extract_clusters)(
                         J_rows, h, epsilon, state.m, state.slot_to_beta),
                     lambda: (state.cl, state.do_nmc_slot))
+            return state.cl, state.do_nmc_slot
+
+        def _kernel_round(J_rows, J_diag, h, epsilon,
+                          state: EnsembleNMCState):
+            cl, do_nmc = _refresh(J_rows, h, epsilon, state)
+            beta_local = self.beta_list[state.slot_to_beta]    # [I, R]
+            base = jnp.where(do_nmc, jnp.asarray(cfg.global_beta, dtype),
+                             beta_local.astype(dtype))
+            k_round = jax.random.fold_in(state.key, state.round_index)
+            kd = (jax.random.key_data(k_round)
+                  if jnp.issubdtype(k_round.dtype, jax.dtypes.prng_key)
+                  else k_round)
+            seed = jax.lax.bitcast_convert_type(
+                kd.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
+            J_sq = J_rows.reshape(self.I, n_pad, n_pad)
+
+            def call(J, hh, m, clf, dnf, bb, sd):
+                return pallas_ensemble_round(
+                    J, hh, self.active, m, clf, dnf, bb, sd,
+                    num_cycles=cfg.num_cycles,
+                    sweeps_per_phase=cfg.sweeps_per_phase,
+                    full_update_frequency=cfg.full_update_frequency,
+                    temp_x_inv=1.0 / cfg.temp_x,
+                    block_size=self.blocked0.block_size,
+                    interpret=self._round_interpret)
+
+            if self.mesh.shape[self.axis] > 1:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+                i_local = self.I // self.mesh.shape[self.axis]
+
+                def call_shard(J, hh, m, clf, dnf, bb, sd):
+                    off = jax.lax.axis_index(self.axis).astype(jnp.int32)
+                    sd = sd + jnp.stack([off * jnp.int32(i_local),
+                                         jnp.int32(0)])
+                    return pallas_ensemble_round(
+                        J, hh, self.active, m, clf, dnf, bb, sd,
+                        num_cycles=cfg.num_cycles,
+                        sweeps_per_phase=cfg.sweeps_per_phase,
+                        full_update_frequency=cfg.full_update_frequency,
+                        temp_x_inv=1.0 / cfg.temp_x,
+                        block_size=self.blocked0.block_size,
+                        interpret=self._round_interpret)
+
+                ax = self.axis
+                res = shard_map(
+                    call_shard, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                              P()),
+                    out_specs=P(ax),
+                    # pallas_call out_shapes carry no vma annotations
+                    check_vma=False)(
+                    J_sq, h, state.m, cl.astype(dtype),
+                    do_nmc.astype(dtype), base, seed)
             else:
-                cl = state.cl
-                do_nmc = state.do_nmc_slot
+                res = call(J_sq, h, state.m, cl.astype(dtype),
+                           do_nmc.astype(dtype), base, seed)
+
+            # fold the per-slot round bests into the per-instance best
+            r = jnp.argmin(res.e_best, axis=1)                       # [I]
+            e_r = jnp.take_along_axis(res.e_best, r[:, None], 1)[:, 0]
+            m_r = jnp.take_along_axis(
+                res.m_best, r[:, None, None], 1)[:, 0]
+            imp = e_r < state.e_best
+            mb = jnp.where(imp[:, None], m_r, state.m_best)
+            eb = jnp.where(imp, e_r, state.e_best)
+
+            def swap_i(i, b2s, e_car):
+                key_i = jax.random.fold_in(state.key, i)
+                k_dev = jax.random.fold_in(key_i, state.round_index)
+                k_swap = jax.random.fold_in(k_dev, jnp.uint32(0xD00D))
+                return metropolis_label_swap(
+                    k_swap, b2s, self.beta_list.astype(jnp.float32),
+                    e_car.astype(jnp.float32),
+                    num_pairs=cfg.num_swapping_pairs)
+
+            swap = jax.vmap(swap_i)(jnp.arange(self.I),
+                                    state.beta_to_slot, res.e_carried)
+            return EnsembleNMCState(
+                m=res.m, beta_to_slot=swap.beta_to_slot,
+                slot_to_beta=swap.slot_to_beta, key=state.key,
+                round_index=state.round_index + 1, m_best=mb, e_best=eb,
+                cl=cl, do_nmc_slot=do_nmc)
+
+        def _round(J_rows, J_diag, h, epsilon, state: EnsembleNMCState):
+            cl, do_nmc = _refresh(J_rows, h, epsilon, state)
             keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
                 jnp.arange(self.I))
             m, b2s, s2b, mb, eb = jax.vmap(
@@ -310,7 +409,7 @@ class EnsembleNMC:
                 round_index=state.round_index + 1, m_best=mb, e_best=eb,
                 cl=cl, do_nmc_slot=do_nmc)
 
-        return _round
+        return _kernel_round if self._use_round_kernel else _round
 
     # ------------------------------------------------------------------
     def run_scanned(self, state: EnsembleNMCState, num_rounds: int):

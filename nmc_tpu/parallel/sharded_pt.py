@@ -70,6 +70,10 @@ class ShardedNPTConfig:
     use_coloring: bool = False   # graph-colored blocks -> exact Jacobi updates
     precision: str = "highest"
     dtype: str = "float32"
+    round_kernel: str = "auto"   # EnsembleNMC whole-round Pallas kernel:
+                                 # 'auto' (on accelerators when the layout
+                                 # fits VMEM), 'on' (interpret mode on CPU),
+                                 # 'off' (XLA scan path)
 
 
 class ShardedPTState(NamedTuple):
