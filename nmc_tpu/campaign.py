@@ -129,13 +129,25 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
         ens = EnsembleICM(probs, beta, cfg)
     else:
         cold = args.nmc_cold if args.arm == "nmc" else 0
-        doNMC = [False] * (args.replicas - cold) + [True] * cold
+        if cold and args.nmc_placement == "near-global":
+            # NMC replicas sample at global_beta regardless of their label
+            # (reference quirk, npt.py:126): attaching them to the rungs
+            # CLOSEST to global_beta keeps the cold end of the ladder
+            # doing plain cold sampling and makes the swap Metropolis test
+            # (label beta x carried-state energy) nearly consistent with
+            # the actual sampling temperature
+            order = np.argsort(np.abs(np.log(beta / args.global_beta)))
+            doNMC = np.zeros(args.replicas, bool)
+            doNMC[order[:cold]] = True
+            doNMC = doNMC.tolist()
+        else:
+            doNMC = [False] * (args.replicas - cold) + [True] * cold
         cfg = ShardedNPTConfig(
             sweeps_per_phase=args.sweeps_per_phase,
             num_cycles=args.num_cycles,
             num_swapping_pairs=max(args.replicas // 4, 1),
             global_beta=args.global_beta, temp_x=args.temp_x,
-            use_coloring=spec["coloring"], lbp_mode="dense",
+            use_coloring=spec["coloring"], lbp_mode="auto",
             lbp_every=args.lbp_every,
         )
         ens = EnsembleNMC(probs, beta, doNMC, cfg)
@@ -210,6 +222,7 @@ def run_arm(args):
                 sweeps_per_phase=args.sweeps_per_phase,
                 chunk_rounds=args.chunk_rounds,
                 nmc_cold=args.nmc_cold, global_beta=args.global_beta,
+                nmc_placement=args.nmc_placement,
                 lbp_every=args.lbp_every,
                 num_cycles=args.num_cycles, temp_x=args.temp_x,
                 seed=args.seed)
@@ -290,7 +303,11 @@ def add_campaign_args(p):
     p.add_argument("--chunk-rounds", type=int, default=50)
     p.add_argument("--lbp-every", type=int, default=8)
     p.add_argument("--nmc-cold", type=int, default=6)
-    p.add_argument("--global-beta", type=float, default=8.0)
+    p.add_argument("--nmc-placement", choices=["coldest", "near-global"],
+                   default="coldest")
+    # the reference's NMC examples all use 1/0.366838*5 ~= 13.63
+    # (/root/reference/NPT/examples/chimera_example.py:95)
+    p.add_argument("--global-beta", type=float, default=13.63)
     p.add_argument("--num-cycles", type=int, default=3)
     p.add_argument("--temp-x", type=float, default=20.0)
     p.add_argument("--subreplicas", type=int, default=10)

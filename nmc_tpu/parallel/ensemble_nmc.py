@@ -80,6 +80,7 @@ class EnsembleNMC:
 
         dtype = jnp.dtype(cfg.dtype)
         np_dtype = np.dtype(dtype.name)
+        self._J_union = None
         groups = None
         if cfg.use_coloring:
             from ..ops.coloring import color_groups
@@ -127,6 +128,27 @@ class EnsembleNMC:
         self.ladder = tuple(lambda_ladder(cfg.lambda_start, cfg.lambda_end,
                                           cfg.lambda_reduction_factor))
         self._scan_jit = {}
+
+        # sparse (edge-message) LBP over the UNION topology: one edge list
+        # for the family, per-instance edge weights (absent edges carry
+        # J=0 -> tanh(beta*0)=0 messages, a no-op). O(nnz) per iteration
+        # instead of the dense [n_pad, n_pad] message matrices.
+        self.edge_graph = None
+        self.edge_w = None
+        if self.any_nmc and cfg.lbp_mode != "dense":
+            from ..ops.lbp_sparse import EdgeGraph
+            J_sq = [np.asarray(b.J_rows).reshape(self.n_pad, self.n_pad)
+                    for b in blocked]
+            J_un = np.zeros((self.n_pad, self.n_pad))
+            for Ji in J_sq:
+                J_un += np.abs(Ji)
+            density = (J_un != 0).mean()
+            if cfg.lbp_mode == "sparse" or density < 0.05:
+                g = EdgeGraph.from_dense(J_un)
+                self.edge_graph = g
+                si, di = np.asarray(g.src), np.asarray(g.dst)
+                w = np.stack([Ji[si, di] for Ji in J_sq])
+                self.edge_w = jax.device_put(jnp.asarray(w, dtype), inst)
 
         # whole-round Pallas kernel (ops/round_pallas.py): one pallas_call
         # per round per instance-grid, states VMEM-resident across all
@@ -213,12 +235,56 @@ class EnsembleNMC:
         return marginal
 
     # ------------------------------------------------------------------
+    def _lbp_marginal_sparse(self, w_e, h, epsilon, m_star):
+        """Edge-message convexified LBP for one chain of one instance over
+        the family's union edge list (per-instance weights w_e). Mirrors
+        ShardedNPT._lbp_marginal_sparse; O(nnz) per iteration."""
+        from ..ops.lbp import atanh_saturated
+
+        cfg = self.cfg
+        g = self.edge_graph
+        beta = jnp.asarray(cfg.global_beta, h.dtype)
+        tanh_bw = jnp.tanh(beta * w_e.astype(h.dtype))
+
+        def lbp(h_lambda, u0):
+            def step(state):
+                u, it, _ = state
+                S = h_lambda + jax.ops.segment_sum(
+                    u, g.dst, num_segments=self.n_pad)
+                h_msg = S[g.src] - u[g.rev]
+                u_new = atanh_saturated(
+                    tanh_bw * jnp.tanh(beta * h_msg)) / beta
+                ch = jnp.max(jnp.abs(u_new - u)) / (
+                    jnp.max(jnp.abs(u_new) + jnp.abs(u)) + 1e-30)
+                return u_new, it + 1, ch < cfg.lbp_tolerance
+
+            def cond(state):
+                _, it, conv = state
+                return (it < cfg.lbp_max_iterations) & (~conv)
+
+            u, _, conv = jax.lax.while_loop(
+                cond, step, (u0, jnp.int32(0), jnp.bool_(False)))
+            S = h_lambda + jax.ops.segment_sum(
+                u, g.dst, num_segments=self.n_pad)
+            return jnp.tanh(beta * S), u, conv
+
+        u = w_e.astype(h.dtype) * m_star[g.dst]
+        marginal = jnp.zeros(self.n_pad, h.dtype)
+        have_prev = jnp.bool_(False)
+        for lam in self.ladder:
+            h_lambda = h + lam * m_star * epsilon
+            mag, u, conv = lbp(h_lambda, u)
+            marginal = jnp.where(conv | ~have_prev, mag, marginal)
+            have_prev = have_prev | conv
+        return marginal
+
+    # ------------------------------------------------------------------
     def _build_round(self):
         cfg = self.cfg
         R, n_pad = self.R, self.n_pad
         dtype = self.h.dtype
 
-        def extract_clusters(J_rows, h, epsilon, m, s2b):
+        def extract_clusters(J_rows, w_e, h, epsilon, m, s2b):
             """Backbone masks for the k slots currently holding NMC labels
             (one instance). LBP only for those k states; masks scattered
             back by slot."""
@@ -228,9 +294,15 @@ class EnsembleNMC:
             k = int(self.doNMC.sum())
             nmc_slots = jnp.argsort(do_nmc)[-k:]          # [k]
             m_nmc = m[nmc_slots]                          # [k, n_pad]
-            marg = jax.vmap(
-                lambda ms: self._lbp_marginal(J_full, h, epsilon, ms)
-            )(m_nmc)
+            if self.edge_graph is not None:
+                marg = jax.vmap(
+                    lambda ms: self._lbp_marginal_sparse(w_e, h, epsilon,
+                                                         ms)
+                )(m_nmc)
+            else:
+                marg = jax.vmap(
+                    lambda ms: self._lbp_marginal(J_full, h, epsilon, ms)
+                )(m_nmc)
             cl_k = backbone_mask_device(
                 marg, jnp.abs(J_full), cfg.threshold_initial,
                 cfg.threshold_cutoff, cfg.threshold_step,
@@ -303,11 +375,14 @@ class EnsembleNMC:
                 # refresh backbone masks every lbp_every rounds — the
                 # predicate is unbatched, so the cond stays a real branch
                 # (LBP cost only paid on refresh rounds)
+                ew = (self.edge_w if self.edge_w is not None else
+                      jnp.zeros((self.I, 1), dtype))
                 refresh = (state.round_index % cfg.lbp_every) == 0
                 return jax.lax.cond(
                     refresh,
                     lambda: jax.vmap(extract_clusters)(
-                        J_rows, h, epsilon, state.m, state.slot_to_beta),
+                        J_rows, ew, h, epsilon, state.m,
+                        state.slot_to_beta),
                     lambda: (state.cl, state.do_nmc_slot))
             return state.cl, state.do_nmc_slot
 
