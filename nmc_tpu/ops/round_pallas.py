@@ -68,7 +68,7 @@ def _round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
                   J_ref, h_ref, act_ref, cl_ref, dn_ref, beta_ref,
                   m_in_ref,                                     # VMEM in
                   m_ref, mb_ref, eb_ref, ec_ref,                # VMEM out
-                  phi, mpb, ppb, epb, bsb, mkb):                # scratch
+                  phi, mpb, epb, bsb, mkb):                     # scratch
     g = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
 
@@ -79,12 +79,19 @@ def _round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
     beta = beta_ref[0]    # [R, 1] slot sampling beta
 
     m_ref[0] = m_in_ref[0]
-    # phi = m @ J + h, accumulated row-block by row-block (J symmetric)
-    phi[:] = jnp.broadcast_to(h, (R, n_pad))
-    for b in range(num_blocks):
-        s = b * B
-        phi[:] = phi[:] + jnp.dot(m_ref[0, :, s:s + B], J_ref[0, s:s + B, :],
-                                  preferred_element_type=jnp.float32)
+
+    def recompute_phi():
+        # phi = m @ J + h, row-block by row-block (J symmetric); called at
+        # every phase start so f32 drift from the incremental updates is
+        # bounded by one phase, exactly like the XLA path (which rebuilds
+        # phi per run_sweeps call)
+        phi[:] = jnp.broadcast_to(h, (R, n_pad))
+        for b in range(num_blocks):
+            s = b * B
+            phi[:] = phi[:] + jnp.dot(m_ref[0, :, s:s + B],
+                                      J_ref[0, s:s + B, :],
+                                      preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     eb_ref[0] = jnp.full((R, 1), jnp.inf, jnp.float32)
     mb_ref[0] = m_ref[0]
@@ -101,6 +108,7 @@ def _round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
             mkb[:] = jnp.broadcast_to(act, (R, n_pad))
             bsb[:] = jnp.ones((R, n_pad), jnp.float32)
 
+        recompute_phi()
         epb[:] = jnp.full((R, 1), jnp.inf, jnp.float32)
 
         def one_sweep(t, _):
@@ -119,26 +127,27 @@ def _round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
                 dm = new - mb
                 phi[:] = phi[:] + jnp.dot(
                     dm, J_ref[0, s:s + B, :],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
                 m_ref[0, :, s:s + B] = new
             e = -0.5 * jnp.sum(m_ref[0] * (phi[:] + h),
                                axis=1, keepdims=True)      # [R, 1]
             better = e < epb[:]
             epb[:] = jnp.where(better, e, epb[:])
             mpb[:] = jnp.where(better, m_ref[0], mpb[:])
-            ppb[:] = jnp.where(better, phi[:], ppb[:])
             return 0
 
         jax.lax.fori_loop(0, sweeps_per_phase, one_sweep, 0)
 
-        # NMC slots carry their per-phase best (reference npt.py:427-447)
+        # NMC slots carry their per-phase best (reference npt.py:427-447);
+        # phi is rebuilt from m at the next phase start / kernel end
         jump = dn > 0
         m_ref[0] = jnp.where(jump, mpb[:], m_ref[0])
-        phi[:] = jnp.where(jump, ppb[:], phi[:])
         better = epb[:] < eb_ref[0]
         eb_ref[0] = jnp.where(better, epb[:], eb_ref[0])
         mb_ref[0] = jnp.where(better, mpb[:], mb_ref[0])
 
+    recompute_phi()
     ec_ref[0] = -0.5 * jnp.sum(m_ref[0] * (phi[:] + h),
                                axis=1, keepdims=True)
 
@@ -146,6 +155,223 @@ def _round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
 def round_kernel_vmem_bytes(n_pad: int, R: int) -> int:
     """Rough per-grid-step VMEM footprint (J + 8 [R, n_pad] f32 buffers)."""
     return 4 * n_pad * n_pad + 8 * 4 * R * n_pad + 6 * 4 * n_pad
+
+
+def streamed_round_vmem_bytes(n_pad: int, R: int, K: int,
+                              block_size: int = 128) -> int:
+    """VMEM for the streamed variant: tile double-buffer + state buffers."""
+    return (2 * K * block_size * block_size * 4
+            + 8 * 4 * R * n_pad + 6 * 4 * n_pad)
+
+
+def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
+                           num_tiles, temp_x_inv, R, n_pad,
+                           seed_ref, col_idx_ref,                  # SMEM
+                           J_tiles_ref, h_ref, act_ref, cl_ref, dn_ref,
+                           beta_ref, m_in_ref,                     # ins
+                           m_ref, mb_ref, eb_ref, ec_ref,          # outs
+                           phi, mpb, epb, bsb, mkb,
+                           tbuf, sems):                            # scratch
+    g = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
+
+    B = block_size
+    nB = num_blocks
+    K = num_tiles
+    h = h_ref[0, 0]
+    act = act_ref[0, 0]
+    dn = dn_ref[0]
+    beta = beta_ref[0]
+
+    def dma(slot, b):
+        # one contiguous [K, B, B] slab of this instance's nonzero column
+        # tiles for row block b
+        return pltpu.make_async_copy(J_tiles_ref.at[g, b], tbuf.at[slot],
+                                     sems.at[slot])
+
+    m_ref[0] = m_in_ref[0]
+
+    def recompute_phi():
+        # phi = m @ J + h via one streamed pass over the row-block tiles
+        # (J symmetric; zero-padded tiles write a harmless delta to column
+        # 0). Run at every phase start so f32 drift from the incremental
+        # updates is bounded by one phase, like the XLA path.
+        phi[:] = jnp.broadcast_to(h, (R, n_pad))
+        dma(0, 0).start()
+        for b in range(nB):      # static pass over row blocks
+            slot = b % 2
+            if b + 1 < nB:
+                dma((b + 1) % 2, b + 1).start()
+            dma(slot, b).wait()
+            s = b * B
+            for k in range(K):
+                c = col_idx_ref[b * K + k]
+                cs = pl.multiple_of(c * B, B)
+                phi[:, pl.ds(cs, B)] = phi[:, pl.ds(cs, B)] + jnp.dot(
+                    m_ref[0, :, s:s + B].astype(tbuf.dtype), tbuf[slot, k],
+                    preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+    eb_ref[0] = jnp.full((R, 1), jnp.inf, jnp.float32)
+    mb_ref[0] = m_ref[0]
+
+    for ph in phases:            # static unroll over the phase cycle
+        cl = cl_ref[0]
+        if ph == "C":
+            mkb[:] = dn * (cl * act) + (1.0 - dn) * act
+            bsb[:] = 1.0 + dn * cl * jnp.float32(temp_x_inv - 1.0)
+        elif ph == "NC":
+            mkb[:] = dn * ((1.0 - cl) * act) + (1.0 - dn) * act
+            bsb[:] = jnp.ones((R, n_pad), jnp.float32)
+        else:
+            mkb[:] = jnp.broadcast_to(act, (R, n_pad))
+            bsb[:] = jnp.ones((R, n_pad), jnp.float32)
+
+        recompute_phi()
+        epb[:] = jnp.full((R, 1), jnp.inf, jnp.float32)
+        total = sweeps_per_phase * nB
+        dma(0, 0).start()
+
+        def step(i, _):
+            b = i % nB
+            slot = i % 2
+            nslot = (i + 1) % 2
+
+            @pl.when(i + 1 < total)
+            def _():
+                dma(nslot, (i + 1) % nB).start()
+
+            dma(slot, b).wait()
+            s = pl.multiple_of(b * B, B)
+            bits = pltpu.prng_random_bits((R, B))
+            bits24 = pltpu.bitcast(
+                pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
+            u = bits24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+            xb = phi[:, pl.ds(s, B)]
+            mb = m_ref[0, :, pl.ds(s, B)]
+            betab = beta * bsb[:, pl.ds(s, B)]
+            p_up = 0.5 * (1.0 + jnp.tanh(betab * xb))
+            new = jnp.where(u < p_up, 1.0, -1.0).astype(jnp.float32)
+            new = jnp.where(mkb[:, pl.ds(s, B)] > 0, new, mb)
+            dm = new - mb
+            m_ref[0, :, pl.ds(s, B)] = new
+            for k in range(K):
+                c = col_idx_ref[b * K + k]
+                cs = pl.multiple_of(c * B, B)
+                phi[:, pl.ds(cs, B)] = phi[:, pl.ds(cs, B)] + jnp.dot(
+                    dm.astype(tbuf.dtype), tbuf[slot, k],
+                    preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+            @pl.when(b == nB - 1)
+            def _():
+                e = -0.5 * jnp.sum(m_ref[0] * (phi[:] + h),
+                                   axis=1, keepdims=True)
+                better = e < epb[:]
+                epb[:] = jnp.where(better, e, epb[:])
+                mpb[:] = jnp.where(better, m_ref[0], mpb[:])
+
+            return 0
+
+        jax.lax.fori_loop(0, total, step, 0)
+
+        # phi is rebuilt from m at the next phase start / kernel end
+        jump = dn > 0
+        m_ref[0] = jnp.where(jump, mpb[:], m_ref[0])
+        better = epb[:] < eb_ref[0]
+        eb_ref[0] = jnp.where(better, epb[:], eb_ref[0])
+        mb_ref[0] = jnp.where(better, mpb[:], mb_ref[0])
+
+    recompute_phi()
+    ec_ref[0] = -0.5 * jnp.sum(m_ref[0] * (phi[:] + h),
+                               axis=1, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_cycles", "sweeps_per_phase",
+                     "full_update_frequency", "temp_x_inv", "block_size",
+                     "interpret"),
+)
+def pallas_ensemble_round_streamed(
+    col_idx,    # [nB, K] int32 union nonzero column-tile indices
+    J_tiles,    # [I, nB, K, B, B] per-instance tiles, stays in HBM
+    h,          # [I, n_pad]
+    act,        # [n_pad]
+    m0,         # [I, R, n_pad]
+    cl,         # [I, R, n_pad]
+    do_nmc,     # [I, R]
+    beta_row,   # [I, R]
+    seed,
+    *,
+    num_cycles: int,
+    sweeps_per_phase: int,
+    full_update_frequency: int = 1,
+    temp_x_inv: float = 1.0 / 20.0,
+    block_size: int = 128,
+    interpret: bool = False,
+) -> EnsembleRoundResult:
+    """Streamed variant of pallas_ensemble_round for J too large for VMEM:
+    chain states stay VMEM-resident across the whole round, per-instance
+    block-SPARSE J column tiles double-buffer from HBM (traffic cut
+    n_pad/(K*B) vs dense streaming on chimera/DCL topologies)."""
+    I, R, n_pad = m0.shape
+    _, nB, K, B, _ = J_tiles.shape
+    if n_pad != nB * B:
+        raise ValueError("tile layout does not match n_pad")
+    phases = _phase_list(num_cycles, full_update_frequency)
+
+    kern = functools.partial(_streamed_round_kernel, phases,
+                             sweeps_per_phase, nB, B, K, temp_x_inv,
+                             R, n_pad)
+    vm = pltpu.VMEM
+    hspec = pl.BlockSpec((1, 1, n_pad), lambda g, *_: (g, 0, 0),
+                         memory_space=vm)
+    aspec = pl.BlockSpec((1, 1, n_pad), lambda g, *_: (0, 0, 0),
+                         memory_space=vm)
+    rspec = pl.BlockSpec((1, R, n_pad), lambda g, *_: (g, 0, 0),
+                         memory_space=vm)
+    sspec = pl.BlockSpec((1, R, 1), lambda g, *_: (g, 0, 0), memory_space=vm)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,          # seed, col_idx
+        grid=(I,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),   # J tiles (HBM)
+                  hspec, aspec, rspec, sspec, sspec, rspec],
+        out_specs=(rspec, rspec, sspec, sspec),
+        scratch_shapes=[
+            pltpu.VMEM((R, n_pad), jnp.float32),   # phi
+            pltpu.VMEM((R, n_pad), jnp.float32),   # m phase-best
+            pltpu.VMEM((R, 1), jnp.float32),       # e phase-best
+            pltpu.VMEM((R, n_pad), jnp.float32),   # per-spin beta mult
+            pltpu.VMEM((R, n_pad), jnp.float32),   # update mask
+            pltpu.VMEM((2, K, B, B), J_tiles.dtype),   # tile double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((I, R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((I, R, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((I, R, 1), jnp.float32),
+        jax.ShapeDtypeStruct((I, R, 1), jnp.float32),
+    )
+    m, m_best, e_best, e_carried = pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes,
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        _seed2(seed),
+        jnp.asarray(col_idx, jnp.int32).reshape(-1),
+        jnp.asarray(J_tiles),
+        jnp.asarray(h, jnp.float32).reshape(I, 1, n_pad),
+        jnp.asarray(act, jnp.float32).reshape(1, 1, n_pad),
+        jnp.asarray(cl, jnp.float32),
+        jnp.asarray(do_nmc, jnp.float32).reshape(I, R, 1),
+        jnp.asarray(beta_row, jnp.float32).reshape(I, R, 1),
+        jnp.asarray(m0, jnp.float32),
+    )
+    return EnsembleRoundResult(m=m, m_best=m_best,
+                               e_best=e_best[..., 0],
+                               e_carried=e_carried[..., 0])
 
 
 @functools.partial(
@@ -201,7 +427,6 @@ def pallas_ensemble_round(
         scratch_shapes=[
             pltpu.VMEM((R, n_pad), jnp.float32),   # phi
             pltpu.VMEM((R, n_pad), jnp.float32),   # m phase-best
-            pltpu.VMEM((R, n_pad), jnp.float32),   # phi phase-best
             pltpu.VMEM((R, 1), jnp.float32),       # e phase-best
             pltpu.VMEM((R, n_pad), jnp.float32),   # per-spin beta mult
             pltpu.VMEM((R, n_pad), jnp.float32),   # update mask

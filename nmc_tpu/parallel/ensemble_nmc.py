@@ -31,7 +31,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.problem import IsingProblem, block_problem
 from ..ops.clusters import backbone_mask_device
 from ..ops.lbp import lambda_ladder
-from ..ops.round_pallas import pallas_ensemble_round, round_kernel_vmem_bytes
+from ..ops.round_pallas import (pallas_ensemble_round,
+                                pallas_ensemble_round_streamed,
+                                round_kernel_vmem_bytes,
+                                streamed_round_vmem_bytes)
 from ..ops.sweeps import run_sweeps
 from .sharded_pt import ShardedNPTConfig
 from .swaps import metropolis_label_swap
@@ -153,17 +156,32 @@ class EnsembleNMC:
         # whole-round Pallas kernel (ops/round_pallas.py): one pallas_call
         # per round per instance-grid, states VMEM-resident across all
         # phases — replaces the per-sweep XLA op stream. Requires the
-        # colored (Jacobi-exact) layout, f32, sublane-aligned R, and J +
-        # state buffers fitting VMEM.
-        fits = (blocked[0].colored and self.R % 8 == 0
-                and dtype == jnp.float32
-                and round_kernel_vmem_bytes(self.n_pad, self.R)
-                <= 12 * 2 ** 20)
+        # colored (Jacobi-exact) layout, f32, and sublane-aligned R. When
+        # J itself fits VMEM the dense variant is used; otherwise the
+        # block-sparse streamed variant (per-instance column tiles DMA'd
+        # from HBM) extends the kernel to chimera2048/DCL-C16 scale.
+        basic = (blocked[0].colored and self.R % 8 == 0
+                 and dtype == jnp.float32)
+        vmem_cap = 12 * 2 ** 20
+        dense_fit = basic and (round_kernel_vmem_bytes(self.n_pad, self.R)
+                               <= vmem_cap)
+        self._stream_tiles = None
+        if basic and not dense_fit and cfg.round_kernel != "off":
+            col_idx, J_tiles = _union_tiles(blocked)
+            K, nBk = col_idx.shape[1], blocked[0].num_blocks
+            if (K <= max(nBk - 1, 1)
+                    and streamed_round_vmem_bytes(
+                        self.n_pad, self.R, K,
+                        blocked[0].block_size) <= vmem_cap):
+                self._stream_tiles = (
+                    jnp.asarray(col_idx),
+                    jax.device_put(jnp.asarray(J_tiles), inst))
         backend = jax.default_backend()
         self._round_interpret = backend == "cpu"
-        self._use_round_kernel = fits and (
-            cfg.round_kernel == "on"
-            or (cfg.round_kernel == "auto" and backend != "cpu"))
+        self._use_round_kernel = (
+            (dense_fit or self._stream_tiles is not None)
+            and (cfg.round_kernel == "on"
+                 or (cfg.round_kernel == "auto" and backend != "cpu")))
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> EnsembleNMCState:
@@ -398,17 +416,30 @@ class EnsembleNMC:
                   else k_round)
             seed = jax.lax.bitcast_convert_type(
                 kd.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
-            J_sq = J_rows.reshape(self.I, n_pad, n_pad)
+            if self._stream_tiles is not None:
+                col_idx, J_op = self._stream_tiles
 
-            def call(J, hh, m, clf, dnf, bb, sd):
-                return pallas_ensemble_round(
-                    J, hh, self.active, m, clf, dnf, bb, sd,
-                    num_cycles=cfg.num_cycles,
-                    sweeps_per_phase=cfg.sweeps_per_phase,
-                    full_update_frequency=cfg.full_update_frequency,
-                    temp_x_inv=1.0 / cfg.temp_x,
-                    block_size=self.blocked0.block_size,
-                    interpret=self._round_interpret)
+                def call(J, hh, m, clf, dnf, bb, sd):
+                    return pallas_ensemble_round_streamed(
+                        col_idx, J, hh, self.active, m, clf, dnf, bb, sd,
+                        num_cycles=cfg.num_cycles,
+                        sweeps_per_phase=cfg.sweeps_per_phase,
+                        full_update_frequency=cfg.full_update_frequency,
+                        temp_x_inv=1.0 / cfg.temp_x,
+                        block_size=self.blocked0.block_size,
+                        interpret=self._round_interpret)
+            else:
+                J_op = J_rows.reshape(self.I, n_pad, n_pad)
+
+                def call(J, hh, m, clf, dnf, bb, sd):
+                    return pallas_ensemble_round(
+                        J, hh, self.active, m, clf, dnf, bb, sd,
+                        num_cycles=cfg.num_cycles,
+                        sweeps_per_phase=cfg.sweeps_per_phase,
+                        full_update_frequency=cfg.full_update_frequency,
+                        temp_x_inv=1.0 / cfg.temp_x,
+                        block_size=self.blocked0.block_size,
+                        interpret=self._round_interpret)
 
             if self.mesh.shape[self.axis] > 1:
                 from jax import shard_map
@@ -419,14 +450,7 @@ class EnsembleNMC:
                     off = jax.lax.axis_index(self.axis).astype(jnp.int32)
                     sd = sd + jnp.stack([off * jnp.int32(i_local),
                                          jnp.int32(0)])
-                    return pallas_ensemble_round(
-                        J, hh, self.active, m, clf, dnf, bb, sd,
-                        num_cycles=cfg.num_cycles,
-                        sweeps_per_phase=cfg.sweeps_per_phase,
-                        full_update_frequency=cfg.full_update_frequency,
-                        temp_x_inv=1.0 / cfg.temp_x,
-                        block_size=self.blocked0.block_size,
-                        interpret=self._round_interpret)
+                    return call(J, hh, m, clf, dnf, bb, sd)
 
                 ax = self.axis
                 res = shard_map(
@@ -436,10 +460,10 @@ class EnsembleNMC:
                     out_specs=P(ax),
                     # pallas_call out_shapes carry no vma annotations
                     check_vma=False)(
-                    J_sq, h, state.m, cl.astype(dtype),
+                    J_op, h, state.m, cl.astype(dtype),
                     do_nmc.astype(dtype), base, seed)
             else:
-                res = call(J_sq, h, state.m, cl.astype(dtype),
+                res = call(J_op, h, state.m, cl.astype(dtype),
                            do_nmc.astype(dtype), base, seed)
 
             # fold the per-slot round bests into the per-instance best
@@ -508,6 +532,30 @@ class EnsembleNMC:
         eb = host_gather(state.e_best)
         mb = host_gather(state.m_best)[:, np.asarray(self.blocked0.inv_perm)]
         return eb, mb
+
+
+def _union_tiles(blocked):
+    """Block-sparse tiles over the UNION sparsity pattern of a family:
+    one [nB, K] column-tile index table valid for every instance (tiles a
+    given instance lacks are zero there), per-instance [nB, K, B, B] tile
+    stacks. Mirrors core.problem.block_sparse_tiles for a single instance."""
+    nB, B = blocked[0].num_blocks, blocked[0].block_size
+    nz_sets = [set() for _ in range(nB)]
+    for bl in blocked:
+        for b in range(nB):
+            tiles = bl.J_rows[b].reshape(B, nB, B)
+            nz = np.flatnonzero(np.any(tiles != 0, axis=(0, 2)))
+            nz_sets[b].update(nz.tolist())
+    K = max((len(s) for s in nz_sets), default=1) or 1
+    col_idx = np.zeros((nB, K), np.int32)
+    J_tiles = np.zeros((len(blocked), nB, K, B, B),
+                       blocked[0].J_rows.dtype)
+    for b, sset in enumerate(nz_sets):
+        for k, j in enumerate(sorted(sset)):
+            col_idx[b, k] = j
+            for i, bl in enumerate(blocked):
+                J_tiles[i, b, k] = bl.J_rows[b][:, j * B:(j + 1) * B]
+    return col_idx, J_tiles
 
 
 def _pad_problem(p: IsingProblem, n: int) -> IsingProblem:

@@ -161,6 +161,45 @@ class TestRoundKernel:
         assert not moved[..., ~act].any()
 
 
+class TestStreamedRoundKernel:
+    def test_streamed_matches_f64_and_padding(self):
+        """Streamed (HBM tile) variant: energies match f64 re-eval, padding
+        frozen, identical contract to the dense round kernel."""
+        from nmc_tpu.core.problem import block_sparse_tiles
+        from nmc_tpu.ops.round_pallas import pallas_ensemble_round_streamed
+        prob, b = _blocked_pair(seed=5)
+        n_pad = b.n_pad
+        R = 8
+        ci, jt = block_sparse_tiles(b)
+        J_tiles = np.broadcast_to(jt, (2,) + jt.shape).copy()
+        h = np.broadcast_to(np.asarray(b.h), (2, n_pad)).copy()
+        act = np.asarray(b.active, np.float32)
+        rng = np.random.default_rng(5)
+        m0 = np.where(rng.random((2, R, n_pad)) < 0.5, -1.0,
+                      1.0).astype(np.float32)
+        m0 = np.where(act.astype(bool), m0, 1.0)
+        cl = (rng.random((2, R, n_pad)) < 0.3) & act.astype(bool)
+        dn = np.array([[False] * 5 + [True] * 3] * 2)
+        beta = np.broadcast_to(np.geomspace(0.4, 3.0, R), (2, R))
+        res = pallas_ensemble_round_streamed(
+            ci, J_tiles, h, act, m0, cl, dn, beta, 11,
+            num_cycles=2, sweeps_per_phase=5,
+            block_size=b.block_size, interpret=True)
+        inv = np.asarray(b.inv_perm)
+        for i in range(2):
+            for r in range(R):
+                st = np.asarray(res.m[i, r])[inv]
+                np.testing.assert_allclose(
+                    res.e_carried[i, r], float(prob.energy(st)),
+                    rtol=0, atol=1e-3)
+        pad = ~np.asarray(b.active)
+        if pad.any():
+            np.testing.assert_array_equal(np.asarray(res.m)[..., pad],
+                                          m0[..., pad])
+        assert (np.asarray(res.e_best) <=
+                np.asarray(res.e_carried) + 1e-4).all()
+
+
 class TestEnsembleNMCKernelPath:
     def _ens(self, round_kernel):
         probs = [ea_2d(6, seed=s).normalized()[0] for s in range(4)]
