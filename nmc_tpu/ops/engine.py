@@ -244,12 +244,14 @@ class SweepEngine:
                     col_idx, J_tiles, self.h, m0, phi, seed, beta_sweep,
                     beta_row, mask_arg, bs_arg, num_sweeps=num_sweeps,
                     block_size=self.blocked.block_size,
+                    precision=self.precision,
                 )
             else:
                 pres = pallas_colored_sweeps_streamed(
                     self.J_rows, self.h, m0, phi, seed, beta_sweep, beta_row,
                     mask_arg, bs_arg, num_sweeps=num_sweeps,
                     block_size=self.blocked.block_size,
+                    precision=self.precision,
                 )
             res = SweepResult(m=pres.m, phi=pres.phi, m_best=pres.m_best,
                               e_best=pres.e_best, energies=pres.energies,
@@ -268,6 +270,7 @@ class SweepEngine:
             pres = pallas_colored_sweeps(
                 self.J_full, self.h, m0, phi, seed, beta_sweep, bs, mask,
                 num_sweeps=num_sweeps, block_size=self.blocked.block_size,
+                precision=self.precision,
             )
             res = SweepResult(m=pres.m, phi=pres.phi, m_best=pres.m_best,
                               e_best=pres.e_best, energies=pres.energies,

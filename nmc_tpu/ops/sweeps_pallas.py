@@ -39,6 +39,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _prec(p):
+    """Map a config precision string to a lax.Precision for the kernel
+    matmuls. The MXU's single-pass default multiplies f32 operands as
+    bf16, perturbing J by up to ~0.4%% — 'highest' keeps the sampled
+    Hamiltonian exactly the loaded instance (see ops/round_pallas.py)."""
+    import jax.lax as lax
+    if isinstance(p, lax.Precision):
+        return p
+    return {"default": lax.Precision.DEFAULT,
+            "high": lax.Precision.HIGH,
+            "highest": lax.Precision.HIGHEST}[str(p)]
+
+
 def _seed2(seed):
     """Normalize a seed (scalar or [2] int32) to TWO int32 words: the
     kernels seed the in-core PRNG with (word0 + grid_index, word1), a
@@ -58,7 +71,7 @@ class PallasSweepResult(NamedTuple):
     energies: jax.Array  # [T, R]
 
 
-def _kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
+def _kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad, precision,
             seed_ref, beta_sweep_ref,          # scalar-prefetch (SMEM)
             J_ref, h_ref, bs_ref, mask_ref, m_in_ref, phi_in_ref,   # VMEM in
             m_ref, phi_ref, mbest_ref, ebest_ref, e_ref):            # VMEM out
@@ -92,7 +105,8 @@ def _kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
             new = jnp.where(kb, new, mb)
             dm = new - mb                                     # [R_t, B]
             phi_ref[:] = phi_ref[:] + jnp.dot(
-                dm, J_ref[s:s + B, :], preferred_element_type=jnp.float32)
+                dm, J_ref[s:s + B, :], preferred_element_type=jnp.float32,
+                precision=precision)
             m_ref[:, s:s + B] = new
 
         e = -0.5 * jnp.sum(m_ref[:] * (phi_ref[:] + h_ref[:]),
@@ -108,7 +122,8 @@ def _kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "block_size", "r_tile", "interpret"),
+    static_argnames=("num_sweeps", "block_size", "r_tile", "precision",
+                     "interpret"),
 )
 def pallas_colored_sweeps(
     J,            # [n_pad, n_pad] float32 (zero-padded, symmetric,
@@ -124,6 +139,7 @@ def pallas_colored_sweeps(
     num_sweeps: int,
     block_size: int = 128,
     r_tile: int = 256,
+    precision: str = "highest",
     interpret: bool = False,
 ) -> PallasSweepResult:
     n_pad = J.shape[0]
@@ -137,7 +153,7 @@ def pallas_colored_sweeps(
     grid = (R // r_tile,)
 
     kern = functools.partial(_kernel, num_sweeps, num_blocks, block_size,
-                             r_tile, n_pad)
+                             r_tile, n_pad, _prec(precision))
 
     vm = pltpu.VMEM
     rspec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
@@ -193,7 +209,7 @@ def pallas_colored_sweeps(
 
 
 def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
-                     bs_full,
+                     bs_full, precision,
                      seed_ref, beta_sweep_ref,                  # SMEM
                      J_hbm_ref, h_ref, beta_row_ref, bs_ref, mask_ref,
                      m_in_ref, phi_in_ref,                       # aliased io
@@ -247,7 +263,7 @@ def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
         # dm values are exactly representable in the J buffer dtype
         phi_ref[:] = phi_ref[:] + jnp.dot(
             dm.astype(jbuf.dtype), jbuf[slot],
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=precision)
         m_ref[:, pl.ds(s, B)] = new
 
         @pl.when(b == num_blocks - 1)
@@ -266,7 +282,7 @@ def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "block_size", "r_tile"),
+    static_argnames=("num_sweeps", "block_size", "r_tile", "precision"),
 )
 def pallas_colored_sweeps_streamed(
     J_blocks,     # [nB, B, n_pad] float32, stays in HBM (streamed per block)
@@ -282,6 +298,7 @@ def pallas_colored_sweeps_streamed(
     num_sweeps: int,
     block_size: int = 128,
     r_tile: int = 128,
+    precision: str = "highest",
 ) -> PallasSweepResult:
     """Colored multi-sweep kernel for J too large for VMEM: states stay
     VMEM-resident for all sweeps, J row-blocks double-buffer from HBM
@@ -314,7 +331,7 @@ def pallas_colored_sweeps_streamed(
                               memory_space=vm))
 
     kern = functools.partial(_streamed_kernel, num_sweeps, nB, B, r_tile,
-                             n_pad, bs_full)
+                             n_pad, bs_full, _prec(precision))
     rspec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
                          memory_space=vm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -370,7 +387,7 @@ def pallas_colored_sweeps_streamed(
 
 
 def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
-                            r_tile, n_pad, bs_full,
+                            r_tile, n_pad, bs_full, precision,
                             seed_ref, beta_sweep_ref, col_idx_ref,   # SMEM
                             J_tiles_hbm_ref, h_ref, beta_row_ref, bs_ref,
                             mask_ref,
@@ -436,7 +453,7 @@ def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
             c = pl.multiple_of(j * B, B)
             phi_ref[:, pl.ds(c, B)] = phi_ref[:, pl.ds(c, B)] + jnp.dot(
                 dm.astype(tbuf.dtype), tbuf[slot, k],
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=precision)
 
         @pl.when(b == num_blocks - 1)
         def _():
@@ -454,7 +471,7 @@ def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "block_size", "r_tile"),
+    static_argnames=("num_sweeps", "block_size", "r_tile", "precision"),
 )
 def pallas_colored_sweeps_sparse(
     col_idx,      # [nB, K] int32 nonzero column-tile indices per row block
@@ -465,6 +482,7 @@ def pallas_colored_sweeps_sparse(
     num_sweeps: int,
     block_size: int = 128,
     r_tile: int = 128,
+    precision: str = "highest",
 ) -> PallasSweepResult:
     """Block-SPARSE streaming colored kernel: per spin block only the
     nonzero [B, B] column tiles of J are DMA'd and multiplied — cuts both
@@ -502,7 +520,7 @@ def pallas_colored_sweeps_sparse(
                                  memory_space=pltpu.VMEM)
 
     kern = functools.partial(_sparse_streamed_kernel, num_sweeps, nB, B, K,
-                             r_tile, n_pad, bs_full)
+                             r_tile, n_pad, bs_full, _prec(precision))
     vm = pltpu.VMEM
     rspec = pl.BlockSpec((r_tile, n_pad), lambda g, *_: (g, 0),
                          memory_space=vm)
