@@ -43,6 +43,8 @@ class EnsembleICMConfig:
     within_block: str = "sequential"
     precision: str = "highest"
     dtype: str = "float32"
+    round_kernel: str = "auto"   # sweep stage via ops/round_pallas (see
+                                 # EnsembleNMC): 'auto' | 'on' | 'off'
 
 
 class EnsembleICMState(NamedTuple):
@@ -132,6 +134,41 @@ class EnsembleICM:
         self.dst = jax.device_put(jnp.asarray(dst), inst)
         self._scan_jit = {}
 
+        # whole-round Pallas kernel for the sweep stage (see ensemble_nmc):
+        # all I x S x R chains sweep in one pallas_call per round; the
+        # Houdayer exchange + label swaps stay on the XLA path. Needs the
+        # colored layout, f32, sublane-aligned S*R, a 3-divisible sweep
+        # count (the kernel runs 3 plain phases), and J or its union tiles
+        # fitting VMEM.
+        from ..ops.round_pallas import (round_kernel_vmem_bytes,
+                                        streamed_round_vmem_bytes)
+        from .ensemble_nmc import _union_tiles
+        Rk = self.S * self.R
+        basic = (blocked[0].colored and Rk % 8 == 0
+                 and dtype == jnp.float32
+                 and cfg.sweeps_per_round % 3 == 0)
+        vmem_cap = 12 * 2 ** 20
+        dense_fit = basic and (round_kernel_vmem_bytes(self.n_pad, Rk)
+                               <= vmem_cap)
+        self._stream_tiles = None
+        if basic and not dense_fit:
+            col_idx, J_tiles = _union_tiles(blocked)
+            K, nBk = col_idx.shape[1], blocked[0].num_blocks
+            if (K <= max(nBk - 1, 1)
+                    and streamed_round_vmem_bytes(
+                        self.n_pad, Rk, K,
+                        blocked[0].block_size) <= vmem_cap):
+                self._stream_tiles = (
+                    jnp.asarray(col_idx),
+                    jax.device_put(jnp.asarray(J_tiles), inst))
+        backend = jax.default_backend()
+        self._round_interpret = backend == "cpu"
+        self._use_round_kernel = (
+            (dense_fit or self._stream_tiles is not None)
+            and (getattr(cfg, "round_kernel", "auto") == "on"
+                 or (getattr(cfg, "round_kernel", "auto") == "auto"
+                     and backend != "cpu")))
+
     # ------------------------------------------------------------------
     def init_state(self, key) -> EnsembleICMState:
         k_m, key = jax.random.split(key)
@@ -156,15 +193,13 @@ class EnsembleICM:
         R, S, n_pad = self.R, self.S, self.n_pad
         dtype = self.h.dtype
 
-        def one_instance(J_rows, J_diag, h, src, dst,
-                         m, b2s, s2b, mb, eb, moves, flips,
-                         key, round_index):
+        def sweep_stage(J_rows, J_diag, h, m, s2b, mb, eb, key,
+                        round_index):
+            """XLA sweep stage for ONE instance (vmapped)."""
             J_full = J_rows.reshape(n_pad, n_pad)
             k = jax.random.fold_in(key, round_index)
-            k_sw, k_pair, k_icm, k_swap = jax.random.split(k, 4)
+            k_sw, _ = jax.random.split(k)
             act = jnp.broadcast_to(self.active, (S * R, n_pad))
-
-            # --- sweeps: all S*R chains in one batched kernel ------------
             beta_chain = self.beta_list[s2b].astype(dtype)  # [S, R]
             flat = m.reshape(S * R, n_pad)
             phi = jnp.matmul(flat, J_full, precision=cfg.precision) + h
@@ -179,7 +214,14 @@ class EnsembleICM:
             imp = res.e_best[r_best] < eb
             mb = jnp.where(imp, res.m_best[r_best], mb)
             eb = jnp.where(imp, res.e_best[r_best], eb)
-            m = res.m.reshape(S, R, n_pad)
+            return res.m.reshape(S, R, n_pad), mb, eb
+
+        def one_instance(J_rows, J_diag, h, src, dst,
+                         m, b2s, s2b, mb, eb, moves, flips,
+                         key, round_index):
+            J_full = J_rows.reshape(n_pad, n_pad)
+            k = jax.random.fold_in(key, round_index)
+            _, k_pair, k_icm, k_swap = jax.random.split(k, 4)
 
             # --- Houdayer: random same-TEMPERATURE sub-replica pairing ---
             # temperature t's chain in sub s is slot b2s[s, t]
@@ -220,15 +262,95 @@ class EnsembleICM:
             return (m, swaps.beta_to_slot, swaps.slot_to_beta,
                     mb, eb, moves, flips)
 
+        def _kernel_sweeps(J_rows, h, state: EnsembleICMState):
+            """Sweep stage for ALL instances in one pallas_call: the round
+            kernel with no NMC slots (3 plain phases) over the flattened
+            [I, S*R] chain batch."""
+            from ..ops.round_pallas import (pallas_ensemble_round,
+                                            pallas_ensemble_round_streamed)
+            I, Rk = self.I, S * R
+            beta_chain = self.beta_list[state.slot_to_beta].astype(dtype)
+            base = beta_chain.reshape(I, Rk)
+            m0 = state.m.reshape(I, Rk, n_pad)
+            cl = jnp.zeros((I, Rk, n_pad), dtype)
+            dn = jnp.zeros((I, Rk), dtype)
+            k_round = jax.random.fold_in(
+                jax.random.fold_in(state.key, state.round_index),
+                jnp.uint32(0x1C31))
+            kd = (jax.random.key_data(k_round)
+                  if jnp.issubdtype(k_round.dtype, jax.dtypes.prng_key)
+                  else k_round)
+            seed = jax.lax.bitcast_convert_type(
+                kd.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
+            spp = cfg.sweeps_per_round // 3
+
+            if self._stream_tiles is not None:
+                col_idx, J_op = self._stream_tiles
+
+                def call(J, hh, m, clf, dnf, bb, sd):
+                    return pallas_ensemble_round_streamed(
+                        col_idx, J, hh, self.active, m, clf, dnf, bb, sd,
+                        num_cycles=1, sweeps_per_phase=spp,
+                        temp_x_inv=1.0,
+                        block_size=self.blocked0.block_size,
+                        interpret=self._round_interpret)
+            else:
+                J_op = J_rows.reshape(I, n_pad, n_pad)
+
+                def call(J, hh, m, clf, dnf, bb, sd):
+                    return pallas_ensemble_round(
+                        J, hh, self.active, m, clf, dnf, bb, sd,
+                        num_cycles=1, sweeps_per_phase=spp,
+                        temp_x_inv=1.0,
+                        block_size=self.blocked0.block_size,
+                        interpret=self._round_interpret)
+
+            if self.mesh.shape[self.axis] > 1:
+                from jax import shard_map
+                i_local = I // self.mesh.shape[self.axis]
+
+                def call_shard(J, hh, m, clf, dnf, bb, sd):
+                    off = jax.lax.axis_index(self.axis).astype(jnp.int32)
+                    sd = sd + jnp.stack([off * jnp.int32(i_local),
+                                         jnp.int32(0)])
+                    return call(J, hh, m, clf, dnf, bb, sd)
+
+                ax = self.axis
+                res = shard_map(
+                    call_shard, mesh=self.mesh,
+                    in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                              P()),
+                    out_specs=P(ax), check_vma=False)(
+                    J_op, h, m0, cl, dn, base, seed)
+            else:
+                res = call(J_op, h, m0, cl, dn, base, seed)
+
+            r = jnp.argmin(res.e_best, axis=1)
+            e_r = jnp.take_along_axis(res.e_best, r[:, None], 1)[:, 0]
+            m_r = jnp.take_along_axis(res.m_best, r[:, None, None],
+                                      1)[:, 0]
+            imp = e_r < state.e_best
+            mb = jnp.where(imp[:, None], m_r, state.m_best)
+            eb = jnp.where(imp, e_r, state.e_best)
+            return res.m.reshape(self.I, S, R, n_pad), mb, eb
+
         def _round(J_rows, J_diag, h, src, dst, state: EnsembleICMState):
             keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
                 jnp.arange(self.I))
+            if self._use_round_kernel:
+                m, mb, eb = _kernel_sweeps(J_rows, h, state)
+            else:
+                m, mb, eb = jax.vmap(
+                    sweep_stage,
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+                )(J_rows, J_diag, h, state.m, state.slot_to_beta,
+                  state.m_best, state.e_best, keys, state.round_index)
             m, b2s, s2b, mb, eb, moves, flips = jax.vmap(
                 one_instance,
                 in_axes=(0,) * 5 + (0, 0, 0, 0, 0, 0, 0, 0, None)
-            )(J_rows, J_diag, h, src, dst, state.m,
+            )(J_rows, J_diag, h, src, dst, m,
               state.beta_to_slot, state.slot_to_beta,
-              state.m_best, state.e_best, state.icm_moves, state.icm_flips,
+              mb, eb, state.icm_moves, state.icm_flips,
               keys, state.round_index)
             return EnsembleICMState(
                 m=m, beta_to_slot=b2s, slot_to_beta=s2b, key=state.key,

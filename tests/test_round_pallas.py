@@ -200,6 +200,40 @@ class TestStreamedRoundKernel:
                 np.asarray(res.e_carried) + 1e-4).all()
 
 
+class TestEnsembleICMKernelPath:
+    def _ens(self, round_kernel):
+        from nmc_tpu.parallel import EnsembleICM, EnsembleICMConfig
+        probs = [ea_2d(6, seed=s).normalized()[0] for s in range(4)]
+        cfg = EnsembleICMConfig(sweeps_per_round=6, num_subreplicas=2,
+                                num_swapping_pairs=2, use_coloring=True,
+                                block_size=16, round_kernel=round_kernel)
+        beta = np.geomspace(0.3, 4.0, 8)
+        return probs, EnsembleICM(probs, beta, cfg)
+
+    def test_icm_kernel_path_contract(self):
+        probs, ens = self._ens("on")
+        assert ens._use_round_kernel
+        state = ens.init_state(jax.random.PRNGKey(0))
+        state = ens.run_scanned(state, 4)
+        eb, mb = ens.best(state)
+        assert eb.shape == (4,) and np.isfinite(eb).all()
+        for i, p in enumerate(probs):
+            assert abs(float(p.energy(mb[i])) - eb[i]) < 1e-3
+        b2s = np.asarray(state.beta_to_slot)
+        assert b2s.shape == (4, 2, 8)
+        for i in range(4):
+            for s in range(2):
+                assert sorted(b2s[i, s].tolist()) == list(range(8))
+
+    def test_icm_xla_fallback_unchanged(self):
+        _, ens = self._ens("off")
+        assert not ens._use_round_kernel
+        state = ens.init_state(jax.random.PRNGKey(1))
+        state = ens.run_scanned(state, 3)
+        eb, _ = ens.best(state)
+        assert np.isfinite(eb).all()
+
+
 class TestEnsembleNMCKernelPath:
     def _ens(self, round_kernel):
         probs = [ea_2d(6, seed=s).normalized()[0] for s in range(4)]
