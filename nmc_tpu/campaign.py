@@ -55,17 +55,15 @@ FAMILIES = {
         kind="wishart",
         folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.50",
         coloring=False),
-    "wishart_n40_a0.25": dict(
+    # the shipped wishart_small grid is N in {10..40} x alpha in {0.2..1.0}
+    # (161 folders); 0.3 / 0.7 bracket the alpha=0.5 column used above
+    "wishart_n40_a0.30": dict(
         kind="wishart",
-        folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.25",
+        folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.30",
         coloring=False),
-    "wishart_n40_a0.75": dict(
+    "wishart_n40_a0.70": dict(
         kind="wishart",
-        folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.75",
-        coloring=False),
-    "wishart_n50_a0.50": dict(
-        kind="wishart",
-        folder="/root/reference/NMC/examples/wishart_small/wishart_planting_N_50_alpha_0.50",
+        folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.70",
         coloring=False),
 }
 
@@ -84,6 +82,28 @@ def build_ladder(beta_min, beta_max, num_replicas):
     warm = np.geomspace(beta_min, 3.0, half, endpoint=False)
     cold = np.geomspace(3.0, beta_max, num_replicas - half)
     return np.concatenate([warm, cold])
+
+
+def build_apt_ladder(prob, beta_min, beta_max, seed=0, use_coloring=True):
+    """Reference pipeline ladder: the APT preprocessor's sigma_E-adaptive
+    schedule (/root/reference/NPT/apt_preprocessor.py), built once on a
+    representative instance of the family. Replica count comes out of the
+    schedule itself (the reference's examples all do this before NPT)."""
+    import jax
+    from . import APTConfig, apt_preprocess
+    cfg = APTConfig(num_sweeps_MCMC=1000, num_sweeps_read=1000, num_rng=100,
+                    beta_start=beta_min, alpha=1.25, sigma_E_val=1000.0,
+                    beta_max=beta_max, use_coloring=use_coloring)
+    res = apt_preprocess(prob, cfg, jax.random.PRNGKey(seed))
+    beta = np.sort(np.asarray(res.beta_list))
+    # pad to a sublane-aligned replica count (round kernel wants R % 8 == 0)
+    # by splitting the largest log-beta gaps — preserves the adaptive
+    # spacing, only adds density
+    while beta.shape[0] % 8:
+        g = np.argmax(np.diff(np.log(beta)))
+        mid = np.sqrt(beta[g] * beta[g + 1])
+        beta = np.sort(np.append(beta, mid))
+    return beta
 
 
 def solve_ensemble_batch(pending, args, spec, meta, out_path):
@@ -116,14 +136,22 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
         atol_norm.append(max(1e-6 * abs(gs_raw), 1e-9) / f)
     I = len(probs)
 
-    beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
+    if args.ladder == "apt":
+        beta = build_apt_ladder(pending[0][1], args.beta_min, args.beta_max,
+                                seed=args.seed,
+                                use_coloring=spec["coloring"])
+        print(f"APT ladder: {len(beta)} rungs, "
+              f"beta {beta[0]:.3g}..{beta[-1]:.3g}", flush=True)
+    else:
+        beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
+    num_replicas = len(beta)
     sweeps_per_round = args.num_cycles * 3 * args.sweeps_per_phase
     if args.arm == "icm":
         from .parallel import EnsembleICM, EnsembleICMConfig
         cfg = EnsembleICMConfig(
             sweeps_per_round=sweeps_per_round,
             num_subreplicas=args.subreplicas,
-            num_swapping_pairs=max(args.replicas // 4, 1),
+            num_swapping_pairs=max(num_replicas // 4, 1),
             use_coloring=spec["coloring"],
         )
         ens = EnsembleICM(probs, beta, cfg)
@@ -137,15 +165,15 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
             # (label beta x carried-state energy) nearly consistent with
             # the actual sampling temperature
             order = np.argsort(np.abs(np.log(beta / args.global_beta)))
-            doNMC = np.zeros(args.replicas, bool)
+            doNMC = np.zeros(num_replicas, bool)
             doNMC[order[:cold]] = True
             doNMC = doNMC.tolist()
         else:
-            doNMC = [False] * (args.replicas - cold) + [True] * cold
+            doNMC = [False] * (num_replicas - cold) + [True] * cold
         cfg = ShardedNPTConfig(
             sweeps_per_phase=args.sweeps_per_phase,
             num_cycles=args.num_cycles,
-            num_swapping_pairs=max(args.replicas // 4, 1),
+            num_swapping_pairs=max(num_replicas // 4, 1),
             global_beta=args.global_beta, temp_x=args.temp_x,
             use_coloring=spec["coloring"], lbp_mode="auto",
             lbp_every=args.lbp_every,
@@ -217,6 +245,7 @@ def run_arm(args):
 
     beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
     meta = dict(family=args.family, arm=args.arm, replicas=args.replicas,
+                ladder=args.ladder,
                 beta_min=args.beta_min, beta_max=args.beta_max,
                 sweeps=args.sweeps, swap_attempts=args.swap_attempts,
                 sweeps_per_phase=args.sweeps_per_phase,
@@ -295,6 +324,11 @@ def add_campaign_args(p):
     p.add_argument("--instances", type=int, default=20)
     p.add_argument("--out", default=None)
     p.add_argument("--replicas", type=int, default=32)
+    p.add_argument("--ladder", choices=["geometric", "apt"],
+                   default="geometric",
+                   help="beta schedule: fixed geometric or the reference's "
+                        "sigma_E-adaptive APT preprocessor (replica count "
+                        "then comes from the schedule)")
     p.add_argument("--beta-min", type=float, default=0.25)
     p.add_argument("--beta-max", type=float, default=32.0)
     p.add_argument("--sweeps", type=int, default=1_600_000)
