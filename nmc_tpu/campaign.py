@@ -394,19 +394,21 @@ def summarize(paths):
             return xs[min(int(p * len(xs)), len(xs) - 1)] if xs else None
 
         rows.append(dict(
+            run=os.path.splitext(os.path.basename(path))[0],
             family=meta.get("family", os.path.basename(path)),
             arm=meta.get("arm", "?"), n=rs[0]["n"], instances=len(rs),
             hits=len(hits),
             sweeps_budget=meta.get("sweeps"),
+            wall=round(rs[0].get("wall_seconds", 0), 1),
             tts_p50=q(tts, 0.5), tts_p90=q(tts, 0.9),
             miss_res_p50=q(miss, 0.5), miss_res_max=q(miss, 1.0),
         ))
-    fmt = ("| {family} | {arm} | {n} | {hits}/{instances} | "
-           "{sweeps_budget} | {tts_p50} | {tts_p90} | "
+    fmt = ("| {run} | {arm} | {n} | {hits}/{instances} | "
+           "{sweeps_budget} | {wall} | {tts_p50} | {tts_p90} | "
            "{miss_res_p50} | {miss_res_max} |")
-    print("| family | arm | N | GS hits | sweep budget | TTS p50 (s) | "
-          "TTS p90 (s) | miss residual p50 (%) | max (%) |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("| run | arm | N | GS hits | sweep budget | wall (s) | "
+          "TTS p50 (s) | TTS p90 (s) | miss residual p50 (%) | max (%) |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         r = {k: (round(v, 2) if isinstance(v, float) else v)
              for k, v in r.items()}
