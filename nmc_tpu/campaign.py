@@ -65,11 +65,26 @@ FAMILIES = {
         kind="wishart",
         folder="/root/reference/NPT/examples/wishart_small/wishart_planting_N_40_alpha_0.70",
         coloring=False),
+    # contrived wishart-backbone + binary trees — the family the reference's
+    # NMC was designed for (contrived_wishart_example.py). No exact ground
+    # truths ship for the tree instances; targets come from a best-known
+    # JSON (see --collect-best). Backbone is a dense clique -> no coloring.
+    "contrived_n20_a0.20": dict(
+        kind="contrived",
+        folder="/root/reference/NMC/examples/contrived_wishart_backbone/wishart_contrived_trees/wishart_planting_N_20_alpha_0.20_contrived_tree",
+        coloring=False),
+    "contrived_n50_a0.20": dict(
+        kind="contrived",
+        folder="/root/reference/NMC/examples/contrived_wishart_backbone/wishart_contrived_trees/wishart_planting_N_50_alpha_0.20_contrived_tree",
+        coloring=False),
 }
 
 
 def get_instances(spec, limit):
     from . import evaluation as ev
+    if spec["kind"] == "contrived":
+        return ev.contrived_folder_instances(
+            spec["folder"], limit=limit, best_known=spec.get("best_known"))
     it = {"chimera": ev.chimera_folder_instances,
           "dcl": ev.dcl_folder_instances,
           "wishart": ev.wishart_folder_instances}[spec["kind"]]
@@ -232,7 +247,9 @@ def run_arm(args):
         spec = dict(kind=args.kind, folder=args.folder,
                     coloring=args.kind in ("chimera", "dcl"))
     else:
-        spec = FAMILIES[args.family]
+        spec = dict(FAMILIES[args.family])
+    if getattr(args, "best_known", None):
+        spec["best_known"] = args.best_known
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     done = set()
     if os.path.exists(args.out):
@@ -314,13 +331,19 @@ def run_arm(args):
 
 def add_campaign_args(p):
     p.add_argument("--family", choices=sorted(FAMILIES))
-    p.add_argument("--kind", choices=["chimera", "dcl", "wishart"],
+    p.add_argument("--kind", choices=["chimera", "dcl", "wishart", "contrived"],
                    help="instance dialect for --folder")
     p.add_argument("--folder", help="custom instance folder (overrides --family)")
     p.add_argument("--arm", choices=["pt", "nmc", "icm", "icm_host"])
     p.add_argument("--summarize", nargs="+", metavar="JSONL",
                    help="render a summary table from campaign result files "
                         "instead of running")
+    p.add_argument("--best-known", default=None,
+                   help="JSON file of instance-name -> raw target energy "
+                        "(for families without shipped ground truths)")
+    p.add_argument("--collect-best", nargs="+", metavar="JSONL", default=None,
+                   help="merge campaign JSONLs into a best-known JSON "
+                        "(written to --out) instead of running")
     p.add_argument("--instances", type=int, default=20)
     p.add_argument("--out", default=None)
     p.add_argument("--replicas", type=int, default=32)
@@ -350,7 +373,35 @@ def add_campaign_args(p):
     p.add_argument("--seed", type=int, default=0)
 
 
+def collect_best(paths, out_path):
+    """Merge campaign JSONLs into {name: best found_raw} — the best-known
+    targets file consumed by contrived_folder_instances."""
+    best = {}
+    if out_path and os.path.exists(out_path):
+        with open(out_path) as f:
+            best = {k: float(v) for k, v in json.load(f).items()}
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                r = json.loads(line)
+                e = r.get("found_raw")
+                if e is None or e != e:
+                    continue
+                name = r["name"]
+                if name not in best or e < best[name]:
+                    best[name] = float(e)
+    with open(out_path, "w") as f:
+        json.dump(best, f, indent=1, sort_keys=True)
+    print(f"wrote {len(best)} best-known targets to {out_path}")
+    return best
+
+
 def run_campaign(args):
+    if args.collect_best:
+        if not args.out:
+            raise SystemExit("--collect-best requires --out")
+        collect_best(args.collect_best, args.out)
+        return
     if args.summarize:
         summarize(args.summarize)
         return
@@ -387,8 +438,12 @@ def summarize(paths):
         meta = rs[0].get("meta", {})
         hits = [r for r in rs if r["hit"]]
         tts = sorted(r["hit_seconds"] for r in hits)
+        # contrived-family records carry NaN gs/residual (no shipped ground
+        # truth); NaN != NaN filters them out of the residual quantiles
         miss = sorted(abs(r["residual"]) / abs(r["gs_raw"]) * 100
-                      for r in rs if not r["hit"])
+                      for r in rs if not r["hit"]
+                      and r["residual"] == r["residual"]
+                      and r["gs_raw"] == r["gs_raw"] and r["gs_raw"])
 
         def q(xs, p):
             return xs[min(int(p * len(xs)), len(xs) - 1)] if xs else None

@@ -19,8 +19,8 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from .core.problem import IsingProblem
-from .io.loaders import (load_chimera, load_dcl, load_wishart,
-                         read_dcl_solution, read_gs_energies,
+from .io.loaders import (load_chimera, load_contrived_tree, load_dcl,
+                         load_wishart, read_dcl_solution, read_gs_energies,
                          read_otn2d_groundstates)
 
 
@@ -96,6 +96,37 @@ def dcl_folder_instances(folder: str, limit: Optional[int] = None):
         if "min_energy" not in meta:
             continue
         yield name, load_dcl(os.path.join(folder, name)), float(meta["min_energy"])
+
+
+def contrived_folder_instances(folder: str, limit: Optional[int] = None,
+                               best_known: Optional[str] = None):
+    """(name, problem, target) for a wishart_contrived_trees folder.
+
+    The reference ships NO exact ground truths for the contrived tree
+    instances (its contrived_wishart_backbone examples carry gs_energies.txt
+    only for the raw backbone wisharts); `target` comes from an optional
+    best-known JSON file mapping instance name -> raw energy (built with
+    `python -m nmc_tpu campaign --collect-best ...`), else NaN — campaign
+    runs then consume the full budget and record best-found energies.
+    """
+    import re as _re
+
+    targets: Dict[str, float] = {}
+    if best_known is None:
+        best_known = os.path.join(folder, "best_known.json")
+    if best_known and os.path.exists(best_known):
+        with open(best_known) as f:
+            targets = {k: float(v) for k, v in json.load(f).items()}
+
+    def instnum(s):
+        m = _re.search(r"inst_(\d+)", s)
+        return int(m.group(1)) if m else 0
+
+    names = sorted((f for f in os.listdir(folder) if f.endswith(".txt")),
+                   key=instnum)
+    for name in names[:limit]:
+        yield (name, load_contrived_tree(os.path.join(folder, name)),
+               targets.get(name, float("nan")))
 
 
 def evaluate_solver(

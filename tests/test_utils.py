@@ -206,3 +206,53 @@ def test_plot_campaign(tmp_path):
     p.write_text("\n".join(json.dumps(r) for r in recs))
     out = plot_campaign([str(p)], str(tmp_path / "c.png"))
     assert os.path.getsize(out) > 0
+
+
+def test_contrived_campaign_kind(tmp_path):
+    """Contrived tree family: loader yields NaN targets without a
+    best-known file, real targets with one; collect_best merges JSONLs;
+    summarize tolerates NaN gs/residual records."""
+    import json
+    import math
+
+    from nmc_tpu import evaluation as ev
+    from nmc_tpu.campaign import collect_best, summarize
+
+    folder = ("/root/reference/NMC/examples/contrived_wishart_backbone/"
+              "wishart_contrived_trees/"
+              "wishart_planting_N_20_alpha_0.20_contrived_tree")
+    if not os.path.isdir(folder):
+        pytest.skip("reference contrived data not present")
+
+    insts = list(ev.contrived_folder_instances(folder, limit=2))
+    assert len(insts) == 2
+    name0, prob0, t0 = insts[0]
+    assert "inst_1" in name0           # natural (instance-number) order
+    assert prob0.n == 140              # 20-node backbone + 6 tree spins each
+    assert math.isnan(t0)
+
+    # best-known JSON supplies targets
+    bk = tmp_path / "best.json"
+    bk.write_text(json.dumps({name0: -123.0}))
+    insts2 = list(ev.contrived_folder_instances(folder, limit=1,
+                                                best_known=str(bk)))
+    assert insts2[0][2] == -123.0
+
+    # collect_best: min over runs, NaN found_raw ignored, merges existing
+    runs = tmp_path / "r.jsonl"
+    runs.write_text("\n".join([
+        json.dumps(dict(name=name0, found_raw=-200.0)),
+        json.dumps(dict(name="other", found_raw=float("nan"))),
+    ]))
+    best = collect_best([str(runs)], str(bk))
+    assert best == {name0: -200.0}
+
+    # summarize must not crash on NaN gs/residual records
+    camp = tmp_path / "contrived_nmc.jsonl"
+    camp.write_text(json.dumps(dict(
+        name=name0, n=140, gs_raw=float("nan"), found_raw=-200.0,
+        residual=float("nan"), hit=False, hit_seconds=None,
+        wall_seconds=1.0, meta=dict(family="contrived_n20_a0.20",
+                                    arm="nmc"))))
+    rows = summarize([str(camp)])
+    assert rows[0]["hits"] == 0 and rows[0]["miss_res_p50"] is None
