@@ -190,6 +190,8 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
             num_cycles=args.num_cycles,
             num_swapping_pairs=max(num_replicas // 4, 1),
             global_beta=args.global_beta, temp_x=args.temp_x,
+            threshold_initial=args.threshold_initial,
+            threshold_cutoff=args.threshold_cutoff,
             use_coloring=spec["coloring"], lbp_mode="auto",
             lbp_every=args.lbp_every,
         )
@@ -271,6 +273,8 @@ def run_arm(args):
                 nmc_placement=args.nmc_placement,
                 lbp_every=args.lbp_every,
                 num_cycles=args.num_cycles, temp_x=args.temp_x,
+                threshold_initial=args.threshold_initial,
+                threshold_cutoff=args.threshold_cutoff,
                 seed=args.seed)
     print(f"# campaign {meta}", flush=True)
 
@@ -367,6 +371,10 @@ def add_campaign_args(p):
     p.add_argument("--global-beta", type=float, default=13.63)
     p.add_argument("--num-cycles", type=int, default=3)
     p.add_argument("--temp-x", type=float, default=20.0)
+    # reference examples use 0.9999999/0.999999 for chimera/NPT but the
+    # looser 0.9999/0.999 for the contrived family (contrived_wishart_example.py)
+    p.add_argument("--threshold-initial", type=float, default=0.999999)
+    p.add_argument("--threshold-cutoff", type=float, default=0.99999)
     p.add_argument("--subreplicas", type=int, default=10)
     p.add_argument("--device-icm", action="store_true", default=True)
     p.add_argument("--no-device-icm", dest="device_icm", action="store_false")
