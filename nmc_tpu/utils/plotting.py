@@ -12,6 +12,8 @@ never touch a display.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -131,7 +133,9 @@ def plot_campaign(jsonl_paths, out_png="campaign.png"):
             ys = [0.0] + [(i + 1) / n for i in range(len(tts))]
             ax1.step(xs, ys, where="post", label=label)
         miss = sorted(abs(r["residual"]) / abs(r["gs_raw"]) * 100
-                      for r in rs if not r["hit"])
+                      for r in rs if not r["hit"]
+                      and r["residual"] == r["residual"]
+                      and r["gs_raw"] == r["gs_raw"] and r["gs_raw"])
         if miss:
             ax2.plot(range(1, len(miss) + 1), miss, "o-", label=label,
                      markersize=3)
@@ -145,6 +149,61 @@ def plot_campaign(jsonl_paths, out_png="campaign.png"):
     ax2.set_yscale("log")
     ax2.legend(fontsize=7)
     ax2.set_title("miss residuals")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=130)
+    plt.close(fig)
+    return out_png
+
+
+def plot_hardness_curve(jsonl_paths, out_png="hardness.png"):
+    """Wishart hardness curve: ground-state hit rate (left) and median TTS
+    over hits (right) vs the planting density alpha, one line per solver
+    arm. Alpha is parsed from the campaign run/folder name
+    (`..._a0.30_...` or `..._alpha_0.30...`)."""
+    import json
+    import re
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = {}       # arm -> {alpha: (hit_rate, tts_p50)}
+    for path in jsonl_paths:
+        rs = [json.loads(l) for l in open(path)]
+        if not rs:
+            continue
+        meta = rs[0].get("meta", {})
+        name = meta.get("family") or os.path.basename(path)
+        m = re.search(r"(?:_a|alpha[_ ]?)(\d+\.\d+)", name) or \
+            re.search(r"(?:_a|alpha[_ ]?)(\d+\.\d+)", os.path.basename(path))
+        if not m:
+            continue
+        alpha = float(m.group(1))
+        arm = meta.get("arm", "?")
+        hits = [r for r in rs if r["hit"]]
+        tts = sorted(r["hit_seconds"] for r in hits)
+        p50 = tts[len(tts) // 2] if tts else None
+        series.setdefault(arm, {})[alpha] = (len(hits) / len(rs), p50)
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+    for arm in sorted(series):
+        pts = sorted(series[arm].items())
+        ax1.plot([a for a, _ in pts], [v[0] for _, v in pts], "o-",
+                 label=arm)
+        solved = [(a, v[1]) for a, v in pts if v[1] is not None]
+        if solved:
+            ax2.plot([a for a, _ in solved], [t for _, t in solved], "o-",
+                     label=arm)
+    ax1.set_xlabel("alpha")
+    ax1.set_ylabel("ground-state hit rate")
+    ax1.set_ylim(0, 1.05)
+    ax1.legend()
+    ax1.set_title("hardness curve")
+    ax2.set_xlabel("alpha")
+    ax2.set_ylabel("TTS p50 (s)")
+    ax2.set_yscale("log")
+    ax2.legend()
+    ax2.set_title("median time-to-solution")
     fig.tight_layout()
     fig.savefig(out_png, dpi=130)
     plt.close(fig)

@@ -256,3 +256,20 @@ def test_contrived_campaign_kind(tmp_path):
                                     arm="nmc"))))
     rows = summarize([str(camp)])
     assert rows[0]["hits"] == 0 and rows[0]["miss_res_p50"] is None
+
+
+def test_plot_hardness_curve(tmp_path):
+    import json
+
+    from nmc_tpu.utils.plotting import plot_hardness_curve
+    for alpha, arm, hit in [("0.30", "pt", True), ("0.70", "pt", False)]:
+        p = tmp_path / f"wishart_n40_a{alpha}_{arm}.jsonl"
+        p.write_text(json.dumps(dict(
+            name="i1", hit=hit, hit_seconds=2.0 if hit else None,
+            residual=0.0 if hit else 0.5, gs_raw=-10.0,
+            meta=dict(family=f"wishart_n40_a{alpha}", arm=arm))))
+    out = plot_hardness_curve(
+        [str(tmp_path / "wishart_n40_a0.30_pt.jsonl"),
+         str(tmp_path / "wishart_n40_a0.70_pt.jsonl")],
+        str(tmp_path / "h.png"))
+    assert os.path.getsize(out) > 0
