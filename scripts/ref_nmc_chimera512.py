@@ -48,7 +48,24 @@ def gs_raw(inst):
     return gt[f"{inst:03}.txt"][0]
 
 
+def _stub_cachetools():
+    # cachetools isn't installed here; the reference only needs LRUCache
+    # (and only when use_hash_table=True, which we don't use)
+    import types
+    if "cachetools" not in sys.modules:
+        ct = types.ModuleType("cachetools")
+
+        class LRUCache(dict):
+            def __init__(self, maxsize=0):
+                super().__init__()
+                self.maxsize = maxsize
+
+        ct.LRUCache = LRUCache
+        sys.modules["cachetools"] = ct
+
+
 def run_reference(inst):
+    _stub_cachetools()
     from nmc import NMC                      # /root/reference/NMC/nmc.py
     prob = load(inst)
     J = np.asarray(prob.J, dtype=np.float64)
@@ -89,11 +106,13 @@ def run_ours(inst, seed=0):
 
 def main():
     insts = [int(a) for a in sys.argv[1:]] or [1, 2]
+    ref_only = os.environ.get("REF_ONLY") == "1"
     for inst in insts:
         gt = gs_raw(inst)
-        ours, dt_o = run_ours(inst)
-        print(f"inst {inst:03}: ours   {ours:.2f} vs gs {gt:.2f} "
-              f"(residual {ours - gt:.2f}, {dt_o:.0f}s)", flush=True)
+        if not ref_only:
+            ours, dt_o = run_ours(inst)
+            print(f"inst {inst:03}: ours   {ours:.2f} vs gs {gt:.2f} "
+                  f"(residual {ours - gt:.2f}, {dt_o:.0f}s)", flush=True)
         ref, dt_r = run_reference(inst)
         print(f"inst {inst:03}: ref    {ref:.2f} vs gs {gt:.2f} "
               f"(residual {ref - gt:.2f}, {dt_r:.0f}s)", flush=True)
