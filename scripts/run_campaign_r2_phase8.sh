@@ -26,9 +26,4 @@ timeout 7200 python -m nmc_tpu campaign $C2048 --arm icm --subreplicas 2 --sweep
 timeout 7200 python -m nmc_tpu campaign $DCL16 --arm icm --subreplicas 2 --sweeps 1600000 \
   --out $OUT/dcl16_icm_1600k.jsonl
 
-timeout 10800 python -m nmc_tpu campaign $C2048 --arm icm --subreplicas 2 --sweeps 6400000 \
-  --out $OUT/chimera2048_icm_6400k.jsonl
-timeout 10800 python -m nmc_tpu campaign $C2048 --arm pt --sweeps 6400000 \
-  --out $OUT/chimera2048_pt_6400k.jsonl
-
 echo PHASE8_DONE
