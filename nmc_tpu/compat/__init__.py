@@ -116,7 +116,11 @@ class _Base:
             lambda_reduction_factor=lambda_reduction_factor,
             tolerance=tolerance, max_iterations=max_iterations,
             keep_history=True)
-        clusters = self.find_clusters(out.marginal, threshold_initial,
+        # f64 marginal reconstruction from the pre-tanh belief: identical
+        # to out.marginal under x64, restores the reference's 7-nines
+        # threshold discrimination when the device ran f32
+        marg64 = np.tanh(global_beta * np.asarray(out.belief, np.float64))
+        clusters = self.find_clusters(marg64, threshold_initial,
                                       threshold_cutoff, 0.01)
         return (clusters, out.marginals_all, out.mean_marginals_all,
                 out.h_tilde_all, out.J_tilde_all)

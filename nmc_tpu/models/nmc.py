@@ -97,11 +97,12 @@ def _extract_clusters(problem: IsingProblem, m_star: np.ndarray,
         from ..ops.lbp_sparse import EdgeGraph, sparse_lbp_convexified
         if graph is None:
             graph = EdgeGraph.from_dense(problem.J)
-        marginal = sparse_lbp_convexified(
+        _, belief = sparse_lbp_convexified(
             graph, problem.h, cfg.global_beta, m_star, eps,
             lambda_start=cfg.lambda_start, lambda_end=cfg.lambda_end,
             lambda_reduction_factor=cfg.lambda_reduction_factor,
             tolerance=cfg.tolerance, max_iterations=cfg.max_iterations,
+            return_belief=True,
         )
     else:
         out = lbp_convexified(
@@ -111,7 +112,12 @@ def _extract_clusters(problem: IsingProblem, m_star: np.ndarray,
             lambda_reduction_factor=cfg.lambda_reduction_factor,
             tolerance=cfg.tolerance, max_iterations=cfg.max_iterations,
         )
-        marginal = out.marginal
+        belief = out.belief
+    # threshold a float64 reconstruction of the marginal: the reference
+    # discriminates 7-nines thresholds on f64 marginals (nmc.py:163) but
+    # an f32 device tanh saturates to 1.0 — tanh in f64 of the pre-tanh
+    # belief restores the discrimination band (see ops/lbp.LBPResult)
+    marginal = np.tanh(cfg.global_beta * np.asarray(belief, np.float64))
     clusters = find_clusters(problem.J, marginal, cfg.threshold_initial,
                              cfg.threshold_cutoff, cfg.threshold_step)
     return flatten_clusters(clusters)
@@ -224,12 +230,16 @@ def _per_chain_clusters(problem, m_star, cfg) -> list:
         return [_extract_clusters(problem, m_star[r], cfg, graph=graph)
                 for r in range(R)]
     eps = convexification_epsilon(problem.J, problem.h)
-    marginals = lbp_convexified_batch(
+    _, beliefs = lbp_convexified_batch(
         jnp.asarray(problem.J), jnp.asarray(problem.h), cfg.global_beta,
         np.asarray(m_star, dtype=np.float64), eps,
         lambda_start=cfg.lambda_start, lambda_end=cfg.lambda_end,
         lambda_reduction_factor=cfg.lambda_reduction_factor,
-        tolerance=cfg.tolerance, max_iterations=cfg.max_iterations)
+        tolerance=cfg.tolerance, max_iterations=cfg.max_iterations,
+        return_belief=True)
+    # f64 marginal reconstruction for threshold discrimination (see
+    # _extract_clusters)
+    marginals = np.tanh(cfg.global_beta * np.asarray(beliefs, np.float64))
     return [
         flatten_clusters(find_clusters(
             problem.J, marginals[r], cfg.threshold_initial,

@@ -21,6 +21,7 @@ Semantics match:
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional
 
 import numpy as np
@@ -91,12 +92,14 @@ def cluster_mask(n: int, clusters: List[np.ndarray] | np.ndarray) -> np.ndarray:
 
 
 def backbone_mask_device(
-    marginal: jax.Array,      # [..., N] LBP marginals
+    marginal: jax.Array,      # [..., N] LBP marginals (or beliefs, see logits)
     J_abs: jax.Array,         # [N, N] |J| (or any nonneg matrix with J's sparsity)
     threshold_initial: float,
     threshold_cutoff: float,
     threshold_step: float = 0.01,
     active: Optional[jax.Array] = None,
+    *,
+    logits: bool = False,
 ) -> jax.Array:
     """Device-side flat backbone mask with the reference's threshold-decay
     growth (/root/reference/NMC/nmc.py:299-316), batched over leading axes.
@@ -111,14 +114,33 @@ def backbone_mask_device(
     the mask reduces to pure thresholding — the same no-op quirk as the
     host path (SURVEY.md quirk 2). Flat-mask parity with
     find_clusters is tested at non-default cutoffs in tests/test_lbp.py.
+
+    `logits=True`: `marginal` carries the belief LOGIT beta*(h + sum u)
+    (the pre-tanh total field) instead of tanh of it, and each threshold
+    t is mapped to atanh(t) in float64 on the host. The reference
+    discriminates thresholds like 0.9999999 on float64 marginals
+    (/root/reference/NMC/nmc.py:163,299); in float32 those marginals
+    saturate to exactly 1.0 and the mask silently inflates (measured:
+    74% vs the reference's 41% backbone on chimera512 at beta=13.63).
+    |m| >= t  <=>  |logit| >= atanh(t), and atanh(0.9999999) = 8.38 is
+    comfortably representable in f32 — full reference-f64 threshold
+    semantics at f32 device speed.
     """
+    if logits:
+        def _thr(t):
+            # static host-side f64; t may sit exactly at 1.0 from
+            # user-specified ladders -> clamp inside atanh's domain
+            return math.atanh(min(float(t), 1.0 - 1e-16))
+    else:
+        def _thr(t):
+            return t
     mag = jnp.abs(marginal)
-    mask = mag >= threshold_initial
+    mask = mag >= _thr(threshold_initial)
     if active is not None:
         mask = mask & active
     thr = threshold_initial - threshold_step
     while thr > threshold_cutoff:
-        cand = mag >= thr
+        cand = mag >= _thr(thr)
         if active is not None:
             cand = cand & active
         nbr = jnp.matmul(mask.astype(J_abs.dtype), J_abs) > 0

@@ -46,6 +46,11 @@ class LBPResult(NamedTuple):
     iterations: jax.Array      # scalar int32: index of last iteration run
     h_msgs: jax.Array          # [N, N]
     u_msgs: jax.Array          # [N, N]
+    belief: jax.Array = None   # [N] pre-tanh total field h + sum u:
+    #   magnetizations = tanh(beta * belief). Thresholds finer than f32
+    #   resolution (the reference uses 0.9999999 on f64 marginals,
+    #   nmc.py:163) must be applied as |belief| >= atanh(t)/beta — in f32
+    #   the tanh saturates to exactly 1.0 and cannot discriminate.
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
@@ -99,7 +104,8 @@ def loopy_belief_propagation(
         cond, step, (h_msgs, u_msgs, jnp.int32(0), jnp.bool_(False))
     )
 
-    mag = jnp.tanh(beta * (h + jnp.sum(u_f, axis=0)))
+    belief = h + jnp.sum(u_f, axis=0)
+    mag = jnp.tanh(beta * belief)
     th = jnp.tanh(beta * h_f)
     corr = (tanh_bJ + th * th.T) / (1.0 + tanh_bJ * th * th.T + 1e-10)
     corr = corr * (1.0 - eye)
@@ -108,7 +114,8 @@ def loopy_belief_propagation(
     # Reference exposes the 0-based loop index at exit; a full
     # non-converged run leaves it at max_iterations - 1.
     iterations = jnp.where(converged, it - 1, max_iterations - 1)
-    return LBPResult(mag, corr, h_tilde, J_tilde, iterations, h_f, u_f)
+    return LBPResult(mag, corr, h_tilde, J_tilde, iterations, h_f, u_f,
+                     belief)
 
 
 def lambda_ladder(lambda_start: float, lambda_end: float,
@@ -136,6 +143,9 @@ class ConvexifiedLBPResult(NamedTuple):
     mean_marginals_all: Dict[float, float]
     h_tilde_all: Dict[float, np.ndarray]
     J_tilde_all: Dict[float, np.ndarray]
+    belief: np.ndarray = None            # final pre-tanh field h + sum u
+    #   (same divergence-fallback rung as `marginal`); marginal ==
+    #   tanh(global_beta * belief). Use for f32-safe thresholding.
 
 
 def lbp_convexified(
@@ -175,6 +185,8 @@ def lbp_convexified(
     ladder = lambda_ladder(lambda_start, lambda_end, lambda_reduction_factor)
     marginal_prev = None
     marginal = None
+    belief_prev = None
+    belief = None
     for i, lam in enumerate(ladder):
         h_lambda = h + lam * m_star * epsilon
         res = loopy_belief_propagation(
@@ -190,10 +202,13 @@ def lbp_convexified(
             )
         if diverged:
             marginal = marginal_prev
+            belief = belief_prev
             stop = True
         else:
             marginal = np.asarray(res.magnetizations)
             marginal_prev = marginal
+            belief = np.asarray(res.belief)
+            belief_prev = belief
             stop = False
 
         marginals_all[lam] = marginal
@@ -210,6 +225,7 @@ def lbp_convexified(
         mean_marginals_all=mean_all,
         h_tilde_all=h_tilde_all,
         J_tilde_all=J_tilde_all,
+        belief=np.asarray(belief),
     )
 
 
@@ -230,14 +246,16 @@ def lbp_convexified_batch(
     lambda_reduction_factor: float,
     tolerance: float,
     max_iterations: int,
+    return_belief: bool = False,
 ) -> np.ndarray:
     """Convexified LBP for a BATCH of chains (one vmapped LBP per rung).
 
     Semantics per chain match lbp_convexified: warm-started messages,
     geometric lambda ladder, divergence at rung 0 raises, later divergence
     freezes that chain's marginal at the previous rung. Returns final
-    marginals [R, N]. One device dispatch per rung instead of
-    R * num_rungs (the driver-visible win on high-latency links).
+    marginals [R, N] (plus final beliefs [R, N] when return_belief). One
+    device dispatch per rung instead of R * num_rungs (the driver-visible
+    win on high-latency links).
     """
     J = jnp.asarray(J)
     h = jnp.asarray(h).reshape(-1)
@@ -254,7 +272,9 @@ def lbp_convexified_batch(
     u_msgs = J[None, :, :] * m_stars[:, None, :]
 
     marginals = np.zeros((R, N))
+    beliefs = np.zeros((R, N))
     prev = np.zeros((R, N))
+    prev_b = np.zeros((R, N))
     frozen = np.zeros(R, dtype=bool)
     ladder = lambda_ladder(lambda_start, lambda_end, lambda_reduction_factor)
     for i, lam in enumerate(ladder):
@@ -267,12 +287,18 @@ def lbp_convexified_batch(
                 "LBP diverged at initial lambda, please try a larger "
                 "lambda_start or increase max_iterations or beta")
         mags = np.asarray(res.magnetizations)
+        bels = np.asarray(res.belief)
         newly_frozen = diverged & ~frozen
         live = ~frozen
         marginals[live & ~diverged] = mags[live & ~diverged]
         marginals[newly_frozen] = prev[newly_frozen]
+        beliefs[live & ~diverged] = bels[live & ~diverged]
+        beliefs[newly_frozen] = prev_b[newly_frozen]
         frozen |= diverged
         prev = np.where(frozen[:, None], marginals, mags)
+        prev_b = np.where(frozen[:, None], beliefs, bels)
         if frozen.all():
             break
+    if return_belief:
+        return marginals, beliefs
     return marginals

@@ -67,6 +67,8 @@ class SparseLBPResult(NamedTuple):
     u_msgs: jax.Array          # [E]
     iterations: jax.Array
     converged: jax.Array
+    belief: jax.Array = None   # [N] pre-tanh total field h + sum u
+    #   (magnetizations = tanh(beta * belief); f32-safe thresholding)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iterations", "num_nodes"))
@@ -104,7 +106,7 @@ def sparse_lbp(
     mag = jnp.tanh(beta * S)
     h_tilde = atanh_saturated(mag) / beta
     return SparseLBPResult(magnetizations=mag, h_tilde=h_tilde, u_msgs=u,
-                           iterations=it, converged=conv)
+                           iterations=it, converged=conv, belief=S)
 
 
 def sparse_lbp_convexified(
@@ -117,6 +119,7 @@ def sparse_lbp_convexified(
     lambda_reduction_factor: float,
     tolerance: float,
     max_iterations: int,
+    return_belief: bool = False,
 ):
     """Lambda-annealed convexified LBP over edge messages.
 
@@ -133,6 +136,8 @@ def sparse_lbp_convexified(
     ladder = lambda_ladder(lambda_start, lambda_end, lambda_reduction_factor)
     marginal_prev = None
     marginal = None
+    belief_prev = None
+    belief = None
     for i, lam in enumerate(ladder):
         h_lambda = h + lam * m_star * epsilon
         res = sparse_lbp(graph.src, graph.dst, graph.weight, graph.rev,
@@ -146,7 +151,12 @@ def sparse_lbp_convexified(
                 "lambda_start or increase max_iterations or beta")
         if diverged:
             marginal = marginal_prev
+            belief = belief_prev
             break
         marginal = np.asarray(res.magnetizations)
         marginal_prev = marginal
+        belief = np.asarray(res.belief)
+        belief_prev = belief
+    if return_belief:
+        return np.asarray(marginal), np.asarray(belief)
     return np.asarray(marginal)

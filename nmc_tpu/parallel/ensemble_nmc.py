@@ -238,8 +238,9 @@ class EnsembleNMC:
 
             h_f, u_f, _, conv = jax.lax.while_loop(
                 cond, step, (h_msgs, u_msgs, jnp.int32(0), jnp.bool_(False)))
-            mag = jnp.tanh(beta * (h_lambda + jnp.sum(u_f, axis=0)))
-            return mag, h_f, u_f, conv
+            # belief logit beta*(h + sum u); see ShardedNPT._lbp_marginal
+            logit = beta * (h_lambda + jnp.sum(u_f, axis=0))
+            return logit, h_f, u_f, conv
 
         h_msgs = jnp.zeros_like(J_full)
         u_msgs = J_full * m_star[None, :]
@@ -284,7 +285,7 @@ class EnsembleNMC:
                 cond, step, (u0, jnp.int32(0), jnp.bool_(False)))
             S = h_lambda + jax.ops.segment_sum(
                 u, g.dst, num_segments=self.n_pad)
-            return jnp.tanh(beta * S), u, conv
+            return beta * S, u, conv        # belief logit (see dense path)
 
         u = w_e.astype(h.dtype) * m_star[g.dst]
         marginal = jnp.zeros(self.n_pad, h.dtype)
@@ -324,7 +325,7 @@ class EnsembleNMC:
             cl_k = backbone_mask_device(
                 marg, jnp.abs(J_full), cfg.threshold_initial,
                 cfg.threshold_cutoff, cfg.threshold_step,
-                active=act[:k])
+                active=act[:k], logits=True)
             cl = jnp.zeros((R, n_pad), bool).at[nmc_slots].set(cl_k) & act
             return cl, do_nmc
 

@@ -214,8 +214,12 @@ class ShardedNPT:
 
             h_f, u_f, _, conv = lax.while_loop(
                 cond, step, (h_msgs, u_msgs, jnp.int32(0), jnp.bool_(False)))
-            mag = jnp.tanh(beta * (h_lambda + jnp.sum(u_f, axis=0)))
-            return mag, h_f, u_f, conv
+            # belief LOGIT beta*(h + sum u), NOT tanh of it: f32 tanh
+            # saturates to 1.0 above ~8.3 and destroys the reference's
+            # f64 threshold discrimination (backbone_mask_device
+            # logits=True maps thresholds through atanh instead)
+            logit = beta * (h_lambda + jnp.sum(u_f, axis=0))
+            return logit, h_f, u_f, conv
 
         h_msgs = jnp.zeros_like(J)
         u_msgs = J * m_star[None, :]
@@ -262,7 +266,7 @@ class ShardedNPT:
                 cond, step, (u0, jnp.int32(0), jnp.bool_(False)))
             S = h_lambda + jax.ops.segment_sum(
                 u, g.dst, num_segments=self.n_pad)
-            return jnp.tanh(beta * S), u, conv
+            return beta * S, u, conv        # belief logit (see dense path)
 
         u = g.weight.astype(h.dtype) * m_star[g.dst]
         marginal = jnp.zeros(self.n_pad, h.dtype)
@@ -315,10 +319,12 @@ class ShardedNPT:
                 marg = jax.vmap(lbp_fn)(m_local)
                 # threshold seeds + the reference's threshold-decay growth
                 # (one masked adjacency propagation per rung; a no-op with
-                # the shipped defaults, exactly like the host path)
+                # the shipped defaults, exactly like the host path);
+                # marg carries belief logits -> thresholds map via atanh
                 cl = backbone_mask_device(
                     marg, jnp.abs(self.J_full), cfg.threshold_initial,
-                    cfg.threshold_cutoff, cfg.threshold_step, active=act)
+                    cfg.threshold_cutoff, cfg.threshold_step, active=act,
+                    logits=True)
             else:
                 cl = act
 

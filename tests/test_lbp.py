@@ -263,3 +263,48 @@ class TestBackboneGrowthParity:
             jnp.asarray(mag), jnp.abs(jnp.asarray(prob.J)),
             0.999999, 0.99999, 0.01))
         np.testing.assert_array_equal(dev, np.abs(mag) >= 0.999999)
+
+    def test_logit_thresholding_matches_f64_marginals(self):
+        """f32 belief-logit thresholding == f64 marginal thresholding.
+
+        The reference discriminates 7-nines thresholds on float64
+        marginals (/root/reference/NMC/nmc.py:163); in f32 tanh saturates
+        to exactly 1.0. backbone_mask_device(logits=True) thresholds
+        |beta*(h + sum u)| >= atanh(t) instead, which must reproduce the
+        f64 marginal mask bit-for-bit away from the threshold boundary.
+        """
+        import jax.numpy as jnp
+        from nmc_tpu.io.generators import ea_2d
+        from nmc_tpu.ops.clusters import backbone_mask_device
+        from nmc_tpu.ops.lbp import convexification_epsilon, lbp_convexified
+
+        prob = ea_2d(6, seed=3).normalized()[0]
+        rng = np.random.default_rng(0)
+        m_star = rng.choice([-1.0, 1.0], prob.n)
+        eps = convexification_epsilon(prob.J, prob.h)
+        beta = 13.63
+        out = lbp_convexified(
+            jnp.asarray(prob.J, jnp.float64), jnp.asarray(prob.h, jnp.float64),
+            beta, m_star, eps, lambda_start=3.0, lambda_end=0.01,
+            lambda_reduction_factor=0.9, tolerance=1e-12, max_iterations=200)
+        marg64 = np.asarray(out.marginal, np.float64)
+        logit64 = beta * np.asarray(out.belief, np.float64)
+        logit32 = jnp.asarray(logit64, jnp.float32)
+        absJ32 = jnp.abs(jnp.asarray(prob.J, jnp.float32))
+        for thr_i, thr_c in [(0.9999999, 0.999999), (0.9999, 0.999),
+                             (0.99, 0.95)]:
+            ref_mask = np.abs(marg64) >= thr_i
+            dev = np.asarray(backbone_mask_device(
+                logit32, absJ32, thr_i, thr_i - 1e-9, 0.01, logits=True))
+            # exclude spins within f32 rounding of the boundary
+            import math
+            boundary = np.abs(np.abs(logit64) - math.atanh(thr_i)) < 1e-4
+            np.testing.assert_array_equal(dev[~boundary], ref_mask[~boundary],
+                                          err_msg=f"thr={thr_i}")
+            # f32 marginal thresholding CANNOT discriminate 7-nines: the
+            # saturated tanh mask is strictly larger at the tightest rung
+            if thr_i == 0.9999999:
+                marg32 = np.asarray(jnp.tanh(jnp.asarray(beta) * logit32
+                                             / beta * jnp.float32(beta)))
+                inflated = (np.abs(marg32) >= thr_i).sum()
+                assert inflated >= dev.sum()
