@@ -110,7 +110,7 @@ def build_apt_ladder(prob, beta_min, beta_max, seed=0, use_coloring=True):
                     beta_start=beta_min, alpha=1.25, sigma_E_val=1000.0,
                     beta_max=beta_max, use_coloring=use_coloring)
     res = apt_preprocess(prob, cfg, jax.random.PRNGKey(seed))
-    beta = np.sort(np.asarray(res.beta_list))
+    beta = np.sort(np.asarray(res.beta))
     # pad to a sublane-aligned replica count (round kernel wants R % 8 == 0)
     # by splitting the largest log-beta gaps — preserves the adaptive
     # spacing, only adds density
