@@ -273,3 +273,18 @@ def test_plot_hardness_curve(tmp_path):
          str(tmp_path / "wishart_n40_a0.70_pt.jsonl")],
         str(tmp_path / "h.png"))
     assert os.path.getsize(out) > 0
+
+
+def test_build_apt_ladder():
+    """The campaign's --ladder apt path: adaptive schedule from the APT
+    preprocessor, sorted ascending, padded to a multiple of 8 rungs by
+    log-gap splitting (round-kernel alignment)."""
+    from nmc_tpu.campaign import build_apt_ladder
+    prob = random_sk(16, seed=0)
+    beta = build_apt_ladder(prob, 0.5, 8.0, seed=0, use_coloring=False)
+    assert beta.ndim == 1 and len(beta) % 8 == 0
+    assert np.all(np.diff(beta) > 0)
+    # the final rung may exceed beta_max: the reference's preprocessor
+    # appends beta + alpha/sigma_E BEFORE the beta_max stop check
+    # (apt_preprocessor.py:154-184 quirk), and the schedule keeps it
+    assert beta[0] >= 0.4
