@@ -219,13 +219,19 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
                       f"({now:.1f}s)", flush=True)
     wall = time.perf_counter() - t0
 
+    def _num(x):
+        """float or None — keep the JSONL strict-JSON (no NaN/Infinity
+        tokens; contrived-family targets are unknown)."""
+        x = float(x)
+        return x if x == x and abs(x) != float("inf") else None
+
     for i, name in enumerate(names):
         hit = name in hit_at
         rec = dict(
             name=name, n=probs[i].n,
-            gs_raw=float(gs_norm[i] * factors[i]),
-            found_raw=float(best64[i] * factors[i]),
-            residual=float((best64[i] - gs_norm[i]) * factors[i]),
+            gs_raw=_num(gs_norm[i] * factors[i]),
+            found_raw=_num(best64[i] * factors[i]),
+            residual=_num((best64[i] - gs_norm[i]) * factors[i]),
             hit=hit,
             hit_seconds=hit_at[name][1] if hit else None,
             hit_sweeps=hit_at[name][0] * sweeps_per_round if hit else None,
@@ -235,7 +241,9 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
         )
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        print(f"{name}: hit={hit} residual={rec['residual']:.4f} "
+        res_str = ("n/a" if rec["residual"] is None
+                   else f"{rec['residual']:.4f}")
+        print(f"{name}: hit={hit} residual={res_str} "
               f"rounds={rounds_done}/{total_rounds}", flush=True)
 
 
@@ -371,8 +379,10 @@ def add_campaign_args(p):
     p.add_argument("--global-beta", type=float, default=13.63)
     p.add_argument("--num-cycles", type=int, default=3)
     p.add_argument("--temp-x", type=float, default=20.0)
-    # reference examples use 0.9999999/0.999999 for chimera/NPT but the
-    # looser 0.9999/0.999 for the contrived family (contrived_wishart_example.py)
+    # defaults match the reference's run() signature defaults
+    # (nmc.py:442-446: 0.999999/0.99999). Its EXAMPLES pass tighter or
+    # looser values: chimera/NPT examples use 0.9999999/0.999999, the
+    # contrived example 0.9999/0.999 — pass those explicitly per family.
     p.add_argument("--threshold-initial", type=float, default=0.999999)
     p.add_argument("--threshold-cutoff", type=float, default=0.99999)
     p.add_argument("--subreplicas", type=int, default=10)
@@ -446,12 +456,8 @@ def summarize(paths):
         meta = rs[0].get("meta", {})
         hits = [r for r in rs if r["hit"]]
         tts = sorted(r["hit_seconds"] for r in hits)
-        # contrived-family records carry NaN gs/residual (no shipped ground
-        # truth); NaN != NaN filters them out of the residual quantiles
-        miss = sorted(abs(r["residual"]) / abs(r["gs_raw"]) * 100
-                      for r in rs if not r["hit"]
-                      and r["residual"] == r["residual"]
-                      and r["gs_raw"] == r["gs_raw"] and r["gs_raw"])
+        from .utils.plotting import miss_residuals
+        miss = miss_residuals(rs)
 
         def q(xs, p):
             return xs[min(int(p * len(xs)), len(xs) - 1)] if xs else None

@@ -106,6 +106,22 @@ def plot_beta_sigma(beta, sigma, filename="beta_sigma.png"):
     plt.close(fig)
 
 
+def miss_residuals(records):
+    """Sorted relative miss residuals (%) from campaign records, skipping
+    hits and records without a usable ground truth (None or NaN gs_raw /
+    residual — the contrived family ships no exact truths). Shared by
+    the summary table and the campaign figures so the two can't drift."""
+    out = []
+    for r in records:
+        if r.get("hit"):
+            continue
+        res, gs = r.get("residual"), r.get("gs_raw")
+        if res is None or gs is None or res != res or gs != gs or not gs:
+            continue
+        out.append(abs(res) / abs(gs) * 100)
+    return sorted(out)
+
+
 def plot_campaign(jsonl_paths, out_png="campaign.png"):
     """Per-(family, arm) time-to-solution curves and miss residuals from
     campaign JSONL files (the round-2 analogue of the reference's
@@ -132,10 +148,7 @@ def plot_campaign(jsonl_paths, out_png="campaign.png"):
             xs = [0.0] + tts
             ys = [0.0] + [(i + 1) / n for i in range(len(tts))]
             ax1.step(xs, ys, where="post", label=label)
-        miss = sorted(abs(r["residual"]) / abs(r["gs_raw"]) * 100
-                      for r in rs if not r["hit"]
-                      and r["residual"] == r["residual"]
-                      and r["gs_raw"] == r["gs_raw"] and r["gs_raw"])
+        miss = miss_residuals(rs)
         if miss:
             ax2.plot(range(1, len(miss) + 1), miss, "o-", label=label,
                      markersize=3)
