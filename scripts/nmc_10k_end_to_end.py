@@ -43,7 +43,7 @@ def main():
     t0 = time.time()
     res = npt_run(prob, beta, doNMC, cfg, jax.random.PRNGKey(0))
     dt = time.time() - t0
-    e = np.asarray(res.energies)
+    e = np.asarray(res.Energy)
     total_attempts = prob.n * sweeps_per_round * rounds * R
     print(f"{rounds} swap rounds (NMC on 4 coldest) in {dt:.1f}s; "
           f"best {res.min_energy:.2f}; ladder hottest {e.max():.0f} "
