@@ -162,7 +162,15 @@ class EnsembleNMC:
         # from HBM) extends the kernel to chimera2048/DCL-C16 scale.
         basic = (blocked[0].colored and self.R % 8 == 0
                  and dtype == jnp.float32)
-        vmem_cap = 12 * 2 ** 20
+        # NMC_TPU_ROUND_VMEM_CAP (bytes) steers dense-vs-streamed routing:
+        # the axon remote-compile helper crashes (HTTP 500) on the DENSE
+        # round kernel at n_pad=1152 with 20-instance grids even though
+        # the 6.2 MiB estimate fits — lowering the cap below that routes
+        # such shapes to the streamed variant, which compiles fine at
+        # chimera2048 scale.
+        import os as _os
+        vmem_cap = int(_os.environ.get("NMC_TPU_ROUND_VMEM_CAP",
+                                       12 * 2 ** 20))
         dense_fit = basic and (round_kernel_vmem_bytes(self.n_pad, self.R)
                                <= vmem_cap)
         self._stream_tiles = None
