@@ -158,6 +158,25 @@ class ShardedNPT:
         else:
             self.edge_graph = None
 
+        # whole-round Pallas kernel per replica shard (same kernel as
+        # EnsembleNMC, instance grid of 1): all NMC phases of a round in
+        # one pallas_call instead of the per-phase XLA op stream. Needs
+        # the colored (Jacobi-exact) layout, f32, sublane-aligned local
+        # replica count, and a VMEM-resident J.
+        import os as _os
+        _cap = int(_os.environ.get("NMC_TPU_ROUND_VMEM_CAP", 12 * 2 ** 20))
+        from ..ops.round_pallas import round_kernel_vmem_bytes
+        _backend = jax.default_backend()
+        self._round_interpret = _backend == "cpu"
+        # opt-in ("on") rather than "auto" for now: the EnsembleNMC
+        # call sites of the same kernel are TPU-validated, but this
+        # per-shard wiring has only interpret-mode coverage this round
+        self._use_round_kernel = (
+            self.blocked.colored and self.R_local % 8 == 0
+            and dtype == jnp.float32
+            and round_kernel_vmem_bytes(self.n_pad, self.R_local) <= _cap
+            and cfg.round_kernel == "on")
+
         self._round_jit = jax.jit(self._build_round())
         self._scan_jit = {}
 
@@ -327,6 +346,41 @@ class ShardedNPT:
                     logits=True)
             else:
                 cl = act
+
+            if self._use_round_kernel:
+                from ..ops.round_pallas import pallas_ensemble_round
+                kd = (jax.random.key_data(k_dev)
+                      if jnp.issubdtype(k_dev.dtype, jax.dtypes.prng_key)
+                      else k_dev)
+                seed = lax.bitcast_convert_type(
+                    kd.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
+                res = pallas_ensemble_round(
+                    self.J_full[None], self.h[None], self.active,
+                    m_local[None], cl[None], do_nmc[None],
+                    base_row[:, 0][None], seed,
+                    num_cycles=cfg.num_cycles,
+                    sweeps_per_phase=cfg.sweeps_per_phase,
+                    full_update_frequency=cfg.full_update_frequency,
+                    temp_x_inv=1.0 / cfg.temp_x,
+                    block_size=self.blocked.block_size,
+                    interpret=self._round_interpret)
+                m_local = res.m[0]
+                improved = res.e_best[0] < eb_local
+                eb_local = jnp.where(improved, res.e_best[0], eb_local)
+                mb_local = jnp.where(improved[:, None], res.m_best[0],
+                                     mb_local)
+                e_carried = res.e_carried[0]
+                e_all = lax.all_gather(e_carried, axis, tiled=True)  # [R]
+                swap = metropolis_label_swap(
+                    k_swap, beta_to_slot,
+                    self.beta_list.astype(jnp.float32),
+                    e_all.astype(jnp.float32),
+                    num_pairs=cfg.num_swapping_pairs)
+                metrics = RoundMetrics(slot_energies=e_all,
+                                       accepted=swap.accepted,
+                                       pairs=swap.pairs)
+                return (m_local, swap.beta_to_slot, swap.slot_to_beta,
+                        metrics, mb_local, eb_local)
 
             def track_best(res):
                 nonlocal mb_local, eb_local

@@ -274,3 +274,44 @@ class TestEnsembleNMCKernelPath:
         # different RNG streams, same machinery: bests should land in the
         # same energy range on these easy instances
         np.testing.assert_allclose(ek, ex, atol=0.25)
+
+
+class TestShardedNPTRoundKernel:
+    """The whole-round kernel wired per replica shard into ShardedNPT
+    (opt-in round_kernel='on'; interpret mode off-TPU)."""
+
+    def _build(self, round_kernel):
+        from jax.sharding import Mesh
+
+        from nmc_tpu.io.generators import ea_2d
+        from nmc_tpu.parallel import ShardedNPT
+
+        prob = ea_2d(8, seed=1).normalized()[0]
+        R = 16
+        beta = np.linspace(0.3, 3.0, R)
+        doNMC = [False] * 12 + [True] * 4
+        mesh = Mesh(np.array(jax.devices()[:2]), ("replica",))
+        cfg = ShardedNPTConfig(
+            sweeps_per_phase=4, num_cycles=2, num_swapping_pairs=4,
+            global_beta=2.0, block_size=16, use_coloring=True,
+            lbp_max_iterations=8, lambda_start=2.0,
+            lambda_reduction_factor=0.25, round_kernel=round_kernel)
+        return ShardedNPT(prob, beta, doNMC, cfg, mesh=mesh), R
+
+    def test_kernel_round_runs_and_swaps(self):
+        pt, R = self._build("on")
+        assert pt._use_round_kernel
+        st = pt.init_state(jax.random.PRNGKey(0))
+        for _ in range(2):
+            st, met = pt.round(st)
+        e = np.asarray(met.slot_energies)
+        assert e.shape == (R,) and np.isfinite(e).all()
+        perm = np.asarray(st.slot_to_beta)[np.asarray(st.beta_to_slot)]
+        assert sorted(perm.tolist()) == list(range(R))
+        m = np.asarray(st.m)
+        assert set(np.unique(m)).issubset({-1.0, 1.0})
+        assert np.isfinite(np.asarray(st.e_best)).all()
+
+    def test_auto_stays_off_without_opt_in(self):
+        pt, _ = self._build("auto")
+        assert not pt._use_round_kernel
