@@ -147,7 +147,11 @@ class EnsembleICM:
         basic = (blocked[0].colored and Rk % 8 == 0
                  and dtype == jnp.float32
                  and cfg.sweeps_per_round % 3 == 0)
-        vmem_cap = 12 * 2 ** 20
+        # same env override as EnsembleNMC: route n_pad~1152 dense shapes
+        # to the streamed variant (axon compile-helper program-size crash)
+        import os as _os
+        vmem_cap = int(_os.environ.get("NMC_TPU_ROUND_VMEM_CAP",
+                                       12 * 2 ** 20))
         dense_fit = basic and (round_kernel_vmem_bytes(self.n_pad, Rk)
                                <= vmem_cap)
         self._stream_tiles = None
