@@ -91,6 +91,13 @@ def get_instances(spec, limit):
     return it(spec["folder"], limit=limit)
 
 
+def _num(x):
+    """float or None — keep the JSONL strict-JSON (no NaN/Infinity
+    tokens; contrived-family targets are unknown)."""
+    x = float(x)
+    return x if x == x and abs(x) != float("inf") else None
+
+
 def build_ladder(beta_min, beta_max, num_replicas):
     """Geometric warm half + geometric cold half (denser near beta_max)."""
     half = num_replicas // 2
@@ -203,6 +210,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     rounds_done = 0
     hit_at = {}           # name -> (rounds, seconds)
     best64 = np.full(I, np.inf)
+    trace_path = out_path + ".trace" if getattr(args, "trace", False) else None
     while rounds_done < total_rounds and len(hit_at) < I:
         k = min(args.chunk_rounds, total_rounds - rounds_done)
         state = ens.run_scanned(state, k)
@@ -217,13 +225,19 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
                 hit_at[names[i]] = (rounds_done, now)
                 print(f"  hit {names[i]} at round {rounds_done} "
                       f"({now:.1f}s)", flush=True)
+        if trace_path:
+            # per-chunk residual curve (raw units) for TTS/convergence
+            # analysis — how close each unsolved instance is vs sweeps
+            with open(trace_path, "a") as f:
+                f.write(json.dumps(dict(
+                    rounds=rounds_done,
+                    sweeps=rounds_done * sweeps_per_round,
+                    seconds=now, hits=len(hit_at),
+                    residual_raw=[
+                        _num((best64[i] - gs_norm[i]) * factors[i])
+                        for i in range(I)],
+                )) + "\n")
     wall = time.perf_counter() - t0
-
-    def _num(x):
-        """float or None — keep the JSONL strict-JSON (no NaN/Infinity
-        tokens; contrived-family targets are unknown)."""
-        x = float(x)
-        return x if x == x and abs(x) != float("inf") else None
 
     for i, name in enumerate(names):
         hit = name in hit_at
@@ -270,7 +284,6 @@ def run_arm(args):
                 except Exception:
                     pass
 
-    beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
     meta = dict(family=args.family, arm=args.arm, replicas=args.replicas,
                 ladder=args.ladder,
                 beta_min=args.beta_min, beta_max=args.beta_max,
@@ -297,10 +310,23 @@ def run_arm(args):
         solve_ensemble_batch(pending, args, spec, meta, args.out)
         return
 
+    beta = None    # built from the first pending instance (apt needs one)
     for name, prob, gs_raw in get_instances(spec, args.instances):
         if name in done:
             print(f"skip {name} (done)", flush=True)
             continue
+        if beta is None:
+            # honor --ladder apt for icm_host too (the batched arms build
+            # theirs inside solve_ensemble_batch)
+            if args.ladder == "apt":
+                beta = build_apt_ladder(prob, args.beta_min, args.beta_max,
+                                        seed=args.seed,
+                                        use_coloring=spec["coloring"])
+                print(f"APT ladder: {len(beta)} rungs, "
+                      f"beta {beta[0]:.3g}..{beta[-1]:.3g}", flush=True)
+            else:
+                beta = build_ladder(args.beta_min, args.beta_max,
+                                    args.replicas)
         norm_factor = float(np.max(np.abs(prob.J))) or 1.0
         gs_norm = gs_raw / norm_factor
         atol_norm = max(1e-6 * abs(gs_raw), 1e-9) / norm_factor
@@ -310,7 +336,7 @@ def run_arm(args):
             cfg = APTICMConfig(
                 num_sweeps_MCMC=args.sweeps, num_sweeps_read=args.sweeps,
                 num_swap_attempts=args.swap_attempts,
-                num_swapping_pairs=max(args.replicas // 4, 1),
+                num_swapping_pairs=max(len(beta) // 4, 1),
                 num_subreplicas=args.subreplicas,
                 use_coloring=spec["coloring"], normalize=True,
                 device_icm=args.device_icm,
@@ -323,9 +349,9 @@ def run_arm(args):
         wall = time.perf_counter() - t0
         per_swap = args.sweeps // args.swap_attempts
         rec = dict(
-            name=name, n=prob.n, gs_raw=float(gs_raw),
-            found_raw=float(res.min_energy * norm_factor),
-            residual=float(res.min_energy * norm_factor - gs_raw),
+            name=name, n=prob.n, gs_raw=_num(gs_raw),
+            found_raw=_num(res.min_energy * norm_factor),
+            residual=_num(res.min_energy * norm_factor - gs_raw),
             hit=bool(res.hit_round is not None),
             hit_seconds=res.hit_seconds,
             hit_sweeps=(res.hit_round + 1) * per_swap
@@ -336,7 +362,9 @@ def run_arm(args):
         )
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        print(f"{name}: hit={rec['hit']} residual={rec['residual']:.4f} "
+        res_str = ("n/a" if rec["residual"] is None
+                   else f"{rec['residual']:.4f}")
+        print(f"{name}: hit={rec['hit']} residual={res_str} "
               f"rounds={rec['rounds_completed']}/{rounds_total} "
               f"wall={wall:.1f}s", flush=True)
 
@@ -389,6 +417,8 @@ def add_campaign_args(p):
     p.add_argument("--device-icm", action="store_true", default=True)
     p.add_argument("--no-device-icm", dest="device_icm", action="store_false")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trace", action="store_true",
+                   help="append per-chunk residual curves to <out>.trace")
 
 
 def collect_best(paths, out_path):

@@ -110,6 +110,8 @@ def _round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
 
         recompute_phi()
         epb[:] = jnp.full((R, 1), jnp.inf, jnp.float32)
+        mpb[:] = m_ref[0]   # never read stale scratch (prev grid instance)
+                            # if a sweep's energies are all NaN
 
         def one_sweep(t, _):
             for b in range(num_blocks):
@@ -229,6 +231,7 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
 
         recompute_phi()
         epb[:] = jnp.full((R, 1), jnp.inf, jnp.float32)
+        mpb[:] = m_ref[0]   # never read stale scratch (see _round_kernel)
         total = sweeps_per_phase * nB
         dma(0, 0).start()
 
@@ -319,6 +322,8 @@ def pallas_ensemble_round_streamed(
     _, nB, K, B, _ = J_tiles.shape
     if n_pad != nB * B:
         raise ValueError("tile layout does not match n_pad")
+    if sweeps_per_phase < 1:
+        raise ValueError(f"sweeps_per_phase must be >= 1, got {sweeps_per_phase}")
     phases = _phase_list(num_cycles, full_update_frequency)
 
     kern = functools.partial(_streamed_round_kernel, phases,
@@ -401,6 +406,9 @@ def pallas_ensemble_round(
     I, R, n_pad = m0.shape
     if n_pad % block_size:
         raise ValueError("n_pad must be a multiple of block_size")
+    if sweeps_per_phase < 1:
+        raise ValueError(
+            f"sweeps_per_phase must be >= 1, got {sweeps_per_phase}")
     num_blocks = n_pad // block_size
     phases = _phase_list(num_cycles, full_update_frequency)
 

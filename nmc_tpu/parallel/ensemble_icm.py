@@ -155,7 +155,9 @@ class EnsembleICM:
         dense_fit = basic and (round_kernel_vmem_bytes(self.n_pad, Rk)
                                <= vmem_cap)
         self._stream_tiles = None
-        if basic and not dense_fit:
+        if basic and not dense_fit and cfg.round_kernel != "off":
+            # skip the O(I*nB*K*B^2) union-tile build entirely when the
+            # kernel is disabled (mirrors EnsembleNMC)
             col_idx, J_tiles = _union_tiles(blocked)
             K, nBk = col_idx.shape[1], blocked[0].num_blocks
             if (K <= max(nBk - 1, 1)
@@ -167,11 +169,32 @@ class EnsembleICM:
                     jax.device_put(jnp.asarray(J_tiles), inst))
         backend = jax.default_backend()
         self._round_interpret = backend == "cpu"
+        if cfg.round_kernel not in ("auto", "on", "off"):
+            raise ValueError(f"round_kernel must be auto|on|off, "
+                             f"got {cfg.round_kernel!r}")
+        kernel_ok = dense_fit or self._stream_tiles is not None
+        if cfg.round_kernel == "on" and not kernel_ok:
+            fails = []
+            if not blocked[0].colored:
+                fails.append("use_coloring=True (colored Jacobi layout)")
+            if Rk % 8 != 0:
+                fails.append(f"S*R={Rk} must be a multiple of 8")
+            if dtype != jnp.float32:
+                fails.append(f"dtype must be float32, got {dtype}")
+            if cfg.sweeps_per_round % 3 != 0:
+                fails.append(
+                    f"sweeps_per_round={cfg.sweeps_per_round} must divide "
+                    f"by 3 (kernel runs 3 plain phases)")
+            if basic:
+                fails.append("no VMEM-feasible dense or streamed layout "
+                             "(NMC_TPU_ROUND_VMEM_CAP)")
+            raise ValueError(
+                "round_kernel='on' requested but kernel gates failed: "
+                + "; ".join(fails))
         self._use_round_kernel = (
-            (dense_fit or self._stream_tiles is not None)
-            and (getattr(cfg, "round_kernel", "auto") == "on"
-                 or (getattr(cfg, "round_kernel", "auto") == "auto"
-                     and backend != "cpu")))
+            kernel_ok
+            and (cfg.round_kernel == "on"
+                 or (cfg.round_kernel == "auto" and backend != "cpu")))
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> EnsembleICMState:

@@ -31,6 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.problem import IsingProblem, block_problem
 from ..ops.clusters import backbone_mask_device
 from ..ops.lbp import lambda_ladder
+from ..ops.lbp_jit import (convexified_marginal_dense,
+                           convexified_marginal_sparse)
 from ..ops.round_pallas import (pallas_ensemble_round,
                                 pallas_ensemble_round_streamed,
                                 round_kernel_vmem_bytes,
@@ -186,8 +188,31 @@ class EnsembleNMC:
                     jax.device_put(jnp.asarray(J_tiles), inst))
         backend = jax.default_backend()
         self._round_interpret = backend == "cpu"
+        if cfg.round_kernel not in ("auto", "on", "off"):
+            raise ValueError(f"round_kernel must be auto|on|off, "
+                             f"got {cfg.round_kernel!r}")
+        kernel_ok = dense_fit or self._stream_tiles is not None
+        if cfg.round_kernel == "on" and not kernel_ok:
+            # an explicit kernel request must not silently fall back
+            # (mirrors ops/engine.py SweepEngine backend='pallas')
+            fails = []
+            if not blocked[0].colored:
+                fails.append("use_coloring=True (colored Jacobi layout)")
+            if self.R % 8 != 0:
+                fails.append(f"R={self.R} must be a multiple of 8")
+            if dtype != jnp.float32:
+                fails.append(f"dtype must be float32, got {dtype}")
+            if basic:
+                fails.append(
+                    f"dense VMEM estimate "
+                    f"{round_kernel_vmem_bytes(self.n_pad, self.R)} exceeds "
+                    f"cap {vmem_cap} and no streamed tile layout fits "
+                    f"(NMC_TPU_ROUND_VMEM_CAP)")
+            raise ValueError(
+                "round_kernel='on' requested but kernel gates failed: "
+                + "; ".join(fails))
         self._use_round_kernel = (
-            (dense_fit or self._stream_tiles is not None)
+            kernel_ok
             and (cfg.round_kernel == "on"
                  or (cfg.round_kernel == "auto" and backend != "cpu")))
 
@@ -218,92 +243,27 @@ class EnsembleNMC:
     # ------------------------------------------------------------------
     def _lbp_marginal(self, J_full, h, epsilon, m_star):
         """Convexified LBP for one chain of one instance (dense, in-jit);
-        vmapped over slots and instances by the round body. Mirrors
-        ShardedNPT._lbp_marginal (/root/reference/NMC/nmc.py:93-228)."""
+        vmapped over slots and instances by the round body. Shared body:
+        ops/lbp_jit.convexified_marginal_dense
+        (/root/reference/NMC/nmc.py:93-228)."""
         cfg = self.cfg
-        beta = jnp.asarray(cfg.global_beta, J_full.dtype)
-        tanh_bJ = jnp.tanh(beta * J_full)
-        eye = jnp.eye(self.n_pad, dtype=J_full.dtype)
-
-        def lbp(h_lambda, h_msgs, u_msgs):
-            def step(state):
-                h_m, u_m, it, _ = state
-                col_in = h_lambda + jnp.sum(u_m, axis=0)
-                h_new = (col_in[:, None] - u_m.T) * (1.0 - eye)
-                u_new = jnp.arctanh(jnp.clip(
-                    tanh_bJ * jnp.tanh(beta * h_new),
-                    -0.9999999, 0.9999999)) / beta
-                u_ch = jnp.max(jnp.abs(u_new - u_m)) / (
-                    jnp.max(jnp.abs(u_new) + jnp.abs(u_m)) + 1e-30)
-                h_ch = jnp.max(jnp.abs(h_new - h_m)) / (
-                    jnp.max(jnp.abs(h_new) + jnp.abs(h_m)) + 1e-30)
-                conv = (u_ch < cfg.lbp_tolerance) & (h_ch < cfg.lbp_tolerance)
-                return h_new, u_new, it + 1, conv
-
-            def cond(state):
-                _, _, it, conv = state
-                return (it < cfg.lbp_max_iterations) & (~conv)
-
-            h_f, u_f, _, conv = jax.lax.while_loop(
-                cond, step, (h_msgs, u_msgs, jnp.int32(0), jnp.bool_(False)))
-            # belief logit beta*(h + sum u); see ShardedNPT._lbp_marginal
-            logit = beta * (h_lambda + jnp.sum(u_f, axis=0))
-            return logit, h_f, u_f, conv
-
-        h_msgs = jnp.zeros_like(J_full)
-        u_msgs = J_full * m_star[None, :]
-        marginal = jnp.zeros(self.n_pad, J_full.dtype)
-        have_prev = jnp.bool_(False)
-        for lam in self.ladder:
-            h_lambda = h + lam * m_star * epsilon
-            mag, h_msgs, u_msgs, conv = lbp(h_lambda, h_msgs, u_msgs)
-            marginal = jnp.where(conv | ~have_prev, mag, marginal)
-            have_prev = have_prev | conv
-        return marginal
+        return convexified_marginal_dense(
+            J_full, h, epsilon, m_star,
+            beta=cfg.global_beta, ladder=self.ladder,
+            max_iterations=cfg.lbp_max_iterations,
+            tolerance=cfg.lbp_tolerance)
 
     # ------------------------------------------------------------------
     def _lbp_marginal_sparse(self, w_e, h, epsilon, m_star):
         """Edge-message convexified LBP for one chain of one instance over
-        the family's union edge list (per-instance weights w_e). Mirrors
-        ShardedNPT._lbp_marginal_sparse; O(nnz) per iteration."""
-        from ..ops.lbp import atanh_saturated
-
+        the family's union edge list (per-instance weights w_e). Shared
+        body: ops/lbp_jit.convexified_marginal_sparse; O(nnz)/iter."""
         cfg = self.cfg
-        g = self.edge_graph
-        beta = jnp.asarray(cfg.global_beta, h.dtype)
-        tanh_bw = jnp.tanh(beta * w_e.astype(h.dtype))
-
-        def lbp(h_lambda, u0):
-            def step(state):
-                u, it, _ = state
-                S = h_lambda + jax.ops.segment_sum(
-                    u, g.dst, num_segments=self.n_pad)
-                h_msg = S[g.src] - u[g.rev]
-                u_new = atanh_saturated(
-                    tanh_bw * jnp.tanh(beta * h_msg)) / beta
-                ch = jnp.max(jnp.abs(u_new - u)) / (
-                    jnp.max(jnp.abs(u_new) + jnp.abs(u)) + 1e-30)
-                return u_new, it + 1, ch < cfg.lbp_tolerance
-
-            def cond(state):
-                _, it, conv = state
-                return (it < cfg.lbp_max_iterations) & (~conv)
-
-            u, _, conv = jax.lax.while_loop(
-                cond, step, (u0, jnp.int32(0), jnp.bool_(False)))
-            S = h_lambda + jax.ops.segment_sum(
-                u, g.dst, num_segments=self.n_pad)
-            return beta * S, u, conv        # belief logit (see dense path)
-
-        u = w_e.astype(h.dtype) * m_star[g.dst]
-        marginal = jnp.zeros(self.n_pad, h.dtype)
-        have_prev = jnp.bool_(False)
-        for lam in self.ladder:
-            h_lambda = h + lam * m_star * epsilon
-            mag, u, conv = lbp(h_lambda, u)
-            marginal = jnp.where(conv | ~have_prev, mag, marginal)
-            have_prev = have_prev | conv
-        return marginal
+        return convexified_marginal_sparse(
+            self.edge_graph, w_e, h, epsilon, m_star,
+            beta=cfg.global_beta, ladder=self.ladder,
+            max_iterations=cfg.lbp_max_iterations,
+            tolerance=cfg.lbp_tolerance)
 
     # ------------------------------------------------------------------
     def _build_round(self):

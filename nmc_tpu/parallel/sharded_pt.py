@@ -39,6 +39,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.problem import IsingProblem, block_problem
 from ..ops.lbp import lambda_ladder
+from ..ops.lbp_jit import (convexified_marginal_dense,
+                           convexified_marginal_sparse)
 from ..ops.sweeps import run_sweeps
 from .swaps import metropolis_label_swap
 
@@ -84,6 +86,9 @@ class ShardedPTState(NamedTuple):
     round_index: jax.Array   # scalar
     m_best: jax.Array        # [R, n_pad] best-ever state per slot (sharded)
     e_best: jax.Array        # [R] best-ever energy per slot (sharded)
+    cl: jax.Array            # [R, n_pad] carried backbone masks (sharded)
+    do_nmc_slot: jax.Array   # [R] slots running NMC phases, frozen between
+                             # cluster refreshes (sharded)
 
 
 class RoundMetrics(NamedTuple):
@@ -168,14 +173,35 @@ class ShardedNPT:
         from ..ops.round_pallas import round_kernel_vmem_bytes
         _backend = jax.default_backend()
         self._round_interpret = _backend == "cpu"
-        # opt-in ("on") rather than "auto" for now: the EnsembleNMC
-        # call sites of the same kernel are TPU-validated, but this
-        # per-shard wiring has only interpret-mode coverage this round
+        if cfg.round_kernel not in ("auto", "on", "off"):
+            raise ValueError(f"round_kernel must be auto|on|off, "
+                             f"got {cfg.round_kernel!r}")
+        _gate_fails = []
+        if not self.blocked.colored:
+            _gate_fails.append("use_coloring=True (colored Jacobi layout)")
+        if self.R_local % 8 != 0:
+            _gate_fails.append(
+                f"R_local={self.R_local} must be a multiple of 8")
+        if dtype != jnp.float32:
+            _gate_fails.append(f"dtype must be float32, got {dtype}")
+        if (round_kernel_vmem_bytes(self.n_pad, self.R_local) > _cap):
+            _gate_fails.append(
+                f"VMEM estimate "
+                f"{round_kernel_vmem_bytes(self.n_pad, self.R_local)} "
+                f"exceeds cap {_cap} (NMC_TPU_ROUND_VMEM_CAP)")
+        if cfg.round_kernel == "on" and _gate_fails:
+            # an explicit kernel request must not silently fall back
+            # (mirrors ops/engine.py SweepEngine backend='pallas')
+            raise ValueError(
+                "round_kernel='on' requested but kernel gates failed: "
+                + "; ".join(_gate_fails))
+        # TPU-validated (scripts/validate_sharded_round_tpu.py: contract +
+        # statistical parity vs the XLA round + 1.4x throughput), so
+        # 'auto' engages it on accelerator backends like EnsembleNMC
         self._use_round_kernel = (
-            self.blocked.colored and self.R_local % 8 == 0
-            and dtype == jnp.float32
-            and round_kernel_vmem_bytes(self.n_pad, self.R_local) <= _cap
-            and cfg.round_kernel == "on")
+            not _gate_fails
+            and (cfg.round_kernel == "on"
+                 or (cfg.round_kernel == "auto" and _backend != "cpu")))
 
         self._round_jit = jax.jit(self._build_round())
         self._scan_jit = {}
@@ -196,106 +222,42 @@ class ShardedNPT:
         e_best = jax.device_put(
             jnp.full((self.R,), jnp.inf, self.h.dtype),
             NamedSharding(self.mesh, P(self.axis)))
+        # carried backbone masks / NMC-slot set (refreshed on rounds where
+        # round_index % lbp_every == 0; round 0 always refreshes)
+        cl = jax.device_put(jnp.zeros((self.R, self.n_pad), bool),
+                            NamedSharding(self.mesh, P(self.axis, None)))
+        do_nmc_slot = jax.device_put(jnp.asarray(self.doNMC),
+                                     NamedSharding(self.mesh, P(self.axis)))
         return ShardedPTState(
             m=m, beta_to_slot=ids, slot_to_beta=ids, key=key,
             round_index=jnp.int32(0), m_best=m, e_best=e_best,
+            cl=cl, do_nmc_slot=do_nmc_slot,
         )
 
     # ------------------------------------------------------------------
     def _lbp_marginal(self, m_star):
-        """Convexified LBP marginal for ONE slot (blocked layout), fully
-        jitted; vmapped over local slots by the caller."""
+        """Convexified LBP belief logits for ONE slot (blocked layout),
+        fully jitted; vmapped over local slots by the caller. Shared body:
+        ops/lbp_jit.convexified_marginal_dense."""
         cfg = self.cfg
-        J = self.J_full
-        h = self.h
-        beta = jnp.asarray(cfg.global_beta, J.dtype)
-        tanh_bJ = jnp.tanh(beta * J)
-        eye = jnp.eye(self.n_pad, dtype=J.dtype)
-
-        def lbp(h_lambda, h_msgs, u_msgs):
-            def step(state):
-                h_m, u_m, it, _ = state
-                col_in = h_lambda + jnp.sum(u_m, axis=0)
-                h_new = (col_in[:, None] - u_m.T) * (1.0 - eye)
-                u_new = jnp.arctanh(jnp.clip(
-                    tanh_bJ * jnp.tanh(beta * h_new), -0.9999999, 0.9999999)
-                ) / beta
-                u_ch = jnp.max(jnp.abs(u_new - u_m)) / (
-                    jnp.max(jnp.abs(u_new) + jnp.abs(u_m)) + 1e-30)
-                h_ch = jnp.max(jnp.abs(h_new - h_m)) / (
-                    jnp.max(jnp.abs(h_new) + jnp.abs(h_m)) + 1e-30)
-                conv = (u_ch < cfg.lbp_tolerance) & (h_ch < cfg.lbp_tolerance)
-                return h_new, u_new, it + 1, conv
-
-            def cond(state):
-                _, _, it, conv = state
-                return (it < cfg.lbp_max_iterations) & (~conv)
-
-            h_f, u_f, _, conv = lax.while_loop(
-                cond, step, (h_msgs, u_msgs, jnp.int32(0), jnp.bool_(False)))
-            # belief LOGIT beta*(h + sum u), NOT tanh of it: f32 tanh
-            # saturates to 1.0 above ~8.3 and destroys the reference's
-            # f64 threshold discrimination (backbone_mask_device
-            # logits=True maps thresholds through atanh instead)
-            logit = beta * (h_lambda + jnp.sum(u_f, axis=0))
-            return logit, h_f, u_f, conv
-
-        h_msgs = jnp.zeros_like(J)
-        u_msgs = J * m_star[None, :]
-        marginal = jnp.zeros(self.n_pad, J.dtype)
-        have_prev = jnp.bool_(False)
-        for lam in self.ladder:
-            h_lambda = h + lam * m_star * self.epsilon
-            mag, h_msgs, u_msgs, conv = lbp(h_lambda, h_msgs, u_msgs)
-            # divergence fallback: keep previous marginal (npt.py:181-183)
-            marginal = jnp.where(conv | ~have_prev, mag, marginal)
-            have_prev = have_prev | conv
-        return marginal
+        return convexified_marginal_dense(
+            self.J_full, self.h, self.epsilon, m_star,
+            beta=cfg.global_beta, ladder=self.ladder,
+            max_iterations=cfg.lbp_max_iterations,
+            tolerance=cfg.lbp_tolerance)
 
     def _lbp_marginal_sparse(self, m_star):
         """Edge-message convexified LBP for ONE slot (O(nnz) per iter,
         in-jit): the large-N path — dense [N, N] messages per slot would
-        blow memory under vmap over R_local."""
-        from ..ops.lbp import atanh_saturated
-
+        blow memory under vmap over R_local. Shared body:
+        ops/lbp_jit.convexified_marginal_sparse."""
         cfg = self.cfg
         g = self.edge_graph
-        h = self.h
-        beta = jnp.asarray(cfg.global_beta, h.dtype)
-        tanh_bw = jnp.tanh(beta * g.weight.astype(h.dtype))
-        E = g.num_edges
-
-        def lbp(h_lambda, u0):
-            def step(state):
-                u, it, _ = state
-                S = h_lambda + jax.ops.segment_sum(
-                    u, g.dst, num_segments=self.n_pad)
-                h_msg = S[g.src] - u[g.rev]
-                u_new = atanh_saturated(
-                    tanh_bw * jnp.tanh(beta * h_msg)) / beta
-                ch = jnp.max(jnp.abs(u_new - u)) / (
-                    jnp.max(jnp.abs(u_new) + jnp.abs(u)) + 1e-30)
-                return u_new, it + 1, ch < cfg.lbp_tolerance
-
-            def cond(state):
-                _, it, conv = state
-                return (it < cfg.lbp_max_iterations) & (~conv)
-
-            u, _, conv = lax.while_loop(
-                cond, step, (u0, jnp.int32(0), jnp.bool_(False)))
-            S = h_lambda + jax.ops.segment_sum(
-                u, g.dst, num_segments=self.n_pad)
-            return beta * S, u, conv        # belief logit (see dense path)
-
-        u = g.weight.astype(h.dtype) * m_star[g.dst]
-        marginal = jnp.zeros(self.n_pad, h.dtype)
-        have_prev = jnp.bool_(False)
-        for lam in self.ladder:
-            h_lambda = h + lam * m_star * self.epsilon
-            mag, u, conv = lbp(h_lambda, u)
-            marginal = jnp.where(conv | ~have_prev, mag, marginal)
-            have_prev = have_prev | conv
-        return marginal
+        return convexified_marginal_sparse(
+            g, g.weight, self.h, self.epsilon, m_star,
+            beta=cfg.global_beta, ladder=self.ladder,
+            max_iterations=cfg.lbp_max_iterations,
+            tolerance=cfg.lbp_tolerance)
 
     # ------------------------------------------------------------------
     def _build_round(self):
@@ -316,7 +278,7 @@ class ShardedNPT:
             )
 
         def _round(m_local, beta_to_slot, slot_to_beta, key, round_index,
-                   mb_local, eb_local):
+                   mb_local, eb_local, cl_local, do_nmc_local):
             dev = lax.axis_index(axis)
             k_dev = jax.random.fold_in(jax.random.fold_in(key, round_index), dev)
             k_swap = jax.random.fold_in(jax.random.fold_in(key, round_index),
@@ -325,27 +287,43 @@ class ShardedNPT:
             beta_idx_local = lax.dynamic_slice(
                 slot_to_beta, (dev * R_local,), (R_local,))
             beta_local = self.beta_list[beta_idx_local]          # [R_local]
-            do_nmc = self.do_nmc_by_beta[beta_idx_local]          # [R_local]
-
-            base_row = jnp.where(do_nmc, jnp.asarray(cfg.global_beta, dtype),
-                                 beta_local.astype(dtype))[:, None]
             act = jnp.broadcast_to(self.active, (R_local, n_pad))
 
             if self.any_nmc:
                 from ..ops.clusters import backbone_mask_device
                 lbp_fn = (self._lbp_marginal_sparse if self.lbp_sparse
                           else self._lbp_marginal)
-                marg = jax.vmap(lbp_fn)(m_local)
-                # threshold seeds + the reference's threshold-decay growth
-                # (one masked adjacency propagation per rung; a no-op with
-                # the shipped defaults, exactly like the host path);
-                # marg carries belief logits -> thresholds map via atanh
-                cl = backbone_mask_device(
-                    marg, jnp.abs(self.J_full), cfg.threshold_initial,
-                    cfg.threshold_cutoff, cfg.threshold_step, active=act,
-                    logits=True)
+
+                def compute_cl():
+                    marg = jax.vmap(lbp_fn)(m_local)
+                    # threshold seeds + the reference's threshold-decay
+                    # growth (one masked adjacency propagation per rung; a
+                    # no-op with the shipped defaults, exactly like the
+                    # host path); marg carries belief logits -> thresholds
+                    # map via atanh
+                    cl_new = backbone_mask_device(
+                        marg, jnp.abs(self.J_full), cfg.threshold_initial,
+                        cfg.threshold_cutoff, cfg.threshold_step,
+                        active=act, logits=True)
+                    return cl_new, self.do_nmc_by_beta[beta_idx_local]
+
+                if cfg.lbp_every == 1:
+                    cl, do_nmc = compute_cl()
+                else:
+                    # refresh backbone masks every lbp_every rounds; the
+                    # NMC-slot set freezes with them (the backbone belongs
+                    # to the chain's state, not its label — see
+                    # ensemble_nmc.py)
+                    refresh = (round_index % cfg.lbp_every) == 0
+                    cl, do_nmc = lax.cond(
+                        refresh, compute_cl,
+                        lambda: (cl_local, do_nmc_local))
             else:
                 cl = act
+                do_nmc = do_nmc_local    # all-False by construction
+
+            base_row = jnp.where(do_nmc, jnp.asarray(cfg.global_beta, dtype),
+                                 beta_local.astype(dtype))[:, None]
 
             if self._use_round_kernel:
                 from ..ops.round_pallas import pallas_ensemble_round
@@ -380,7 +358,7 @@ class ShardedNPT:
                                        accepted=swap.accepted,
                                        pairs=swap.pairs)
                 return (m_local, swap.beta_to_slot, swap.slot_to_beta,
-                        metrics, mb_local, eb_local)
+                        metrics, mb_local, eb_local, cl, do_nmc)
 
             def track_best(res):
                 nonlocal mb_local, eb_local
@@ -426,27 +404,29 @@ class ShardedNPT:
             metrics = RoundMetrics(slot_energies=e_all,
                                    accepted=swap.accepted, pairs=swap.pairs)
             return (m_local, swap.beta_to_slot, swap.slot_to_beta, metrics,
-                    mb_local, eb_local)
+                    mb_local, eb_local, cl, do_nmc)
 
         shard_map = jax.shard_map
 
         smapped = shard_map(
             _round, mesh=self.mesh,
             in_specs=(P(axis, None), P(), P(), P(), P(),
-                      P(axis, None), P(axis)),
+                      P(axis, None), P(axis), P(axis, None), P(axis)),
             out_specs=(P(axis, None), P(), P(),
                        RoundMetrics(P(), P(), P()),
-                       P(axis, None), P(axis)),
+                       P(axis, None), P(axis), P(axis, None), P(axis)),
             check_vma=False,
         )
 
         def round_fn(state: ShardedPTState):
-            m, b2s, s2b, metrics, mb, eb = smapped(
+            m, b2s, s2b, metrics, mb, eb, cl, dn = smapped(
                 state.m, state.beta_to_slot, state.slot_to_beta, state.key,
-                state.round_index, state.m_best, state.e_best)
+                state.round_index, state.m_best, state.e_best,
+                state.cl, state.do_nmc_slot)
             new_state = ShardedPTState(
                 m=m, beta_to_slot=b2s, slot_to_beta=s2b, key=state.key,
-                round_index=state.round_index + 1, m_best=mb, e_best=eb)
+                round_index=state.round_index + 1, m_best=mb, e_best=eb,
+                cl=cl, do_nmc_slot=dn)
             return new_state, metrics
 
         return round_fn
@@ -497,7 +477,9 @@ class ShardedNPT:
             key=np.asarray(state.key),
             round_index=np.asarray(state.round_index),
             m_best=host_gather(state.m_best),
-            e_best=host_gather(state.e_best)),
+            e_best=host_gather(state.e_best),
+            cl=host_gather(state.cl),
+            do_nmc_slot=host_gather(state.do_nmc_slot)),
             step=int(state.round_index))
 
     def restore(self, path: str) -> ShardedPTState:
@@ -505,6 +487,7 @@ class ShardedNPT:
         snap, _, _ = load_checkpoint(
             path, namedtuple_registry={"ShardedPTState": ShardedPTState})
         sh = NamedSharding(self.mesh, P(self.axis, None))
+        sh1 = NamedSharding(self.mesh, P(self.axis))
         return ShardedPTState(
             m=jax.device_put(jnp.asarray(snap.m), sh),
             beta_to_slot=jnp.asarray(snap.beta_to_slot),
@@ -512,8 +495,9 @@ class ShardedNPT:
             key=jnp.asarray(snap.key),
             round_index=jnp.asarray(snap.round_index),
             m_best=jax.device_put(jnp.asarray(snap.m_best), sh),
-            e_best=jax.device_put(jnp.asarray(snap.e_best),
-                                  NamedSharding(self.mesh, P(self.axis))))
+            e_best=jax.device_put(jnp.asarray(snap.e_best), sh1),
+            cl=jax.device_put(jnp.asarray(snap.cl), sh),
+            do_nmc_slot=jax.device_put(jnp.asarray(snap.do_nmc_slot), sh1))
 
     def states_by_temperature(self, state: ShardedPTState) -> np.ndarray:
         """Gather states ordered by temperature index [R, n] (host)."""

@@ -1,0 +1,132 @@
+"""TPU hardware validation of the ShardedNPT per-shard round kernel.
+
+Runs the round_kernel='on' path on the real chip against the XLA round at
+matched configs (same problem, ladder, doNMC, budgets) and checks:
+  1. contract: finite slot energies, +/-1 spins, valid label permutation,
+     e_best consistent with an f64 re-evaluation of m_best;
+  2. statistical parity: per-beta mean carried energies of kernel vs XLA
+     rounds agree within cross-seed scatter (the two paths use different
+     RNG streams, so draw-for-draw equality is impossible by design);
+  3. throughput of both paths (attempts/s) on a chimera512 instance.
+
+Reference-equivalent being validated: the NPT swap-round hot loop,
+/root/reference/NMC/nmc.py:377-406 + /root/reference/NPT/npt.py:616-640.
+Writes results/sharded_round_tpu.json.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+from nmc_tpu.io.loaders import load_chimera
+from nmc_tpu.parallel import ShardedNPT, ShardedNPTConfig
+from nmc_tpu.utils.compcache import enable_compilation_cache
+
+enable_compilation_cache()
+
+BASE = ("/root/reference/NMC/examples/Chimera_droplet_instances/"
+        "chimera512_spinglass_power")
+
+
+def build(round_kernel, seed=0):
+    prob = load_chimera(f"{BASE}/001.txt").normalized()[0]
+    R = 32
+    beta = np.geomspace(0.25, 32.0, R)
+    doNMC = [False] * (R - 6) + [True] * 6
+    cfg = ShardedNPTConfig(
+        sweeps_per_phase=64, num_cycles=3, num_swapping_pairs=8,
+        global_beta=13.63, use_coloring=True, lbp_mode="sparse",
+        lbp_max_iterations=30, round_kernel=round_kernel)
+    return ShardedNPT(prob, beta, doNMC, cfg), prob, R
+
+
+def run_rounds(pt, seed, n_rounds):
+    st = pt.init_state(jax.random.PRNGKey(seed))
+    e_hist = []
+    for _ in range(n_rounds):
+        st, met = pt.round(st)
+        e_hist.append(np.asarray(met.slot_energies))
+    jax.block_until_ready(st.m)
+    return st, np.stack(e_hist)
+
+
+def main():
+    out = {"backend": jax.default_backend(),
+           "device": str(jax.devices()[0])}
+    n_rounds = 40
+
+    pt_k, prob, R = build("on")
+    assert pt_k._use_round_kernel, "kernel gates failed on TPU"
+    pt_x, _, _ = build("off")
+    assert not pt_x._use_round_kernel
+
+    # ---- contract on the kernel path --------------------------------
+    st, e_hist = run_rounds(pt_k, 0, n_rounds)
+    m = np.asarray(st.m)
+    assert np.isfinite(e_hist).all(), "non-finite slot energies"
+    assert set(np.unique(m)).issubset({-1.0, 1.0}), "non-bipolar spins"
+    perm = np.asarray(st.slot_to_beta)[np.asarray(st.beta_to_slot)]
+    assert sorted(perm.tolist()) == list(range(R)), "label perm corrupted"
+    eb, mb = float(np.asarray(st.e_best).min()), None
+    e64, mb = pt_k.best(st)
+    m_best = mb
+    e_re = float(prob.energy(m_best.astype(np.float64)))
+    assert abs(e_re - e64) < 1e-3 * abs(e_re), (
+        f"e_best {e64} vs f64 re-eval {e_re}")
+    out["contract"] = {"e_best_f32": e64, "e_best_f64_reeval": e_re}
+
+    # ---- statistical parity: per-beta mean carried energy ------------
+    # (use the second half of the rounds, after burn-in; 3 seeds per path)
+    def beta_means(pt):
+        ms = []
+        for s in (1, 2, 3):
+            st_s, eh = run_rounds(pt, s, n_rounds)
+            # order slot energies by temperature label at each round is
+            # noisy; slot identity is stable enough for mean comparison
+            ms.append(eh[n_rounds // 2:].mean(axis=0))
+        return np.stack(ms)
+
+    mk = beta_means(pt_k)   # [3, R]
+    mx = beta_means(pt_x)
+    diff = mk.mean(0) - mx.mean(0)
+    scatter = np.sqrt(mk.std(0) ** 2 + mx.std(0) ** 2) + 1e-6
+    z = np.abs(diff) / np.maximum(scatter, 0.05 * np.abs(mx.mean(0)) + 1e-6)
+    out["parity"] = {
+        "mean_abs_diff": float(np.abs(diff).mean()),
+        "max_z": float(z.max()),
+        "kernel_mean_cold": float(mk.mean(0)[-1]),
+        "xla_mean_cold": float(mx.mean(0)[-1]),
+    }
+    assert z.max() < 6.0, f"per-slot energy means diverge: max z {z.max()}"
+
+    # ---- throughput --------------------------------------------------
+    def throughput(pt, label):
+        st = pt.init_state(jax.random.PRNGKey(9))
+        st, _ = pt.round(st)                     # warm compile
+        jax.block_until_ready(st.m)
+        t0 = time.perf_counter()
+        reps = 20
+        for _ in range(reps):
+            st, _ = pt.round(st)
+        jax.block_until_ready(st.m)
+        dt = time.perf_counter() - t0
+        sweeps = (pt.cfg.num_cycles * 3) * pt.cfg.sweeps_per_phase
+        attempts = reps * sweeps * R * pt.n_pad
+        out[label] = {"seconds": dt, "attempts_per_s": attempts / dt}
+        return attempts / dt
+
+    tk = throughput(pt_k, "kernel_throughput")
+    tx = throughput(pt_x, "xla_throughput")
+    out["speedup"] = tk / tx
+    print(json.dumps(out, indent=2))
+    with open("/root/repo/results/sharded_round_tpu.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

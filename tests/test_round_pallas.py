@@ -312,6 +312,8 @@ class TestShardedNPTRoundKernel:
         assert set(np.unique(m)).issubset({-1.0, 1.0})
         assert np.isfinite(np.asarray(st.e_best)).all()
 
-    def test_auto_stays_off_without_opt_in(self):
+    def test_auto_stays_off_on_cpu(self):
+        # 'auto' engages the kernel only on accelerator backends (it is
+        # TPU-validated; interpret mode stays opt-in via 'on')
         pt, _ = self._build("auto")
         assert not pt._use_round_kernel
