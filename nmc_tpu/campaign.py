@@ -168,13 +168,17 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
         beta = build_ladder(args.beta_min, args.beta_max, args.replicas)
     num_replicas = len(beta)
     sweeps_per_round = args.num_cycles * 3 * args.sweeps_per_phase
-    if args.arm == "icm":
+    if args.arm in ("icm", "hybrid"):
         from .parallel import EnsembleICM, EnsembleICMConfig
         cfg = EnsembleICMConfig(
             sweeps_per_round=sweeps_per_round,
             num_subreplicas=args.subreplicas,
             num_swapping_pairs=max(num_replicas // 4, 1),
             use_coloring=spec["coloring"],
+            # hybrid ICM+NMC: disagreement-seeded heated phases on the
+            # --nmc-cold coldest rungs' paired chains
+            hybrid_cold=args.nmc_cold if args.arm == "hybrid" else 0,
+            temp_x=args.temp_x, num_cycles=args.num_cycles,
         )
         ens = EnsembleICM(probs, beta, cfg)
     else:
@@ -299,7 +303,7 @@ def run_arm(args):
                 seed=args.seed)
     print(f"# campaign {meta}", flush=True)
 
-    if args.arm in ("pt", "nmc", "icm"):
+    if args.arm in ("pt", "nmc", "icm", "hybrid"):
         pending = [(name, prob, gs) for name, prob, gs
                    in get_instances(spec, args.instances)
                    if name not in done]
@@ -374,7 +378,8 @@ def add_campaign_args(p):
     p.add_argument("--kind", choices=["chimera", "dcl", "wishart", "contrived"],
                    help="instance dialect for --folder")
     p.add_argument("--folder", help="custom instance folder (overrides --family)")
-    p.add_argument("--arm", choices=["pt", "nmc", "icm", "icm_host"])
+    p.add_argument("--arm",
+                   choices=["pt", "nmc", "icm", "hybrid", "icm_host"])
     p.add_argument("--summarize", nargs="+", metavar="JSONL",
                    help="render a summary table from campaign result files "
                         "instead of running")

@@ -45,6 +45,22 @@ class EnsembleICMConfig:
     dtype: str = "float32"
     round_kernel: str = "auto"   # sweep stage via ops/round_pallas (see
                                  # EnsembleNMC): 'auto' | 'on' | 'off'
+    # --- hybrid ICM+NMC arm: disagreement-seeded heated phases ---------
+    # hybrid_cold > 0 turns the sweep stage of the hybrid_cold COLDEST
+    # temperatures' paired chains into NMC-style cycles (heat cluster at
+    # temp_x, refreeze, full sweep) whose cluster mask is the Houdayer
+    # DISAGREEMENT SET of the sub-replica pair (s1 != s2) — the move
+    # engine of /root/reference/NMC/nmc.py:320-440 driven by the cluster
+    # source of /root/reference/NPT/apt_ICM.py:116-143 instead of LBP
+    # backbones. Masks refresh each round from the post-sweep pair states
+    # and apply in the NEXT round's sweep stage (carried, like
+    # EnsembleNMC's lbp_every masks).
+    hybrid_cold: int = 0
+    temp_x: float = 20.0
+    num_cycles: int = 1          # NMC cycles per round when hybrid is on
+    max_heat_frac: float = 0.5   # skip heating when the disagreement set
+                                 # exceeds this fraction of active spins
+                                 # (mirrors the Katzgraber big-cluster cut)
 
 
 class EnsembleICMState(NamedTuple):
@@ -57,6 +73,8 @@ class EnsembleICMState(NamedTuple):
     e_best: jax.Array        # [I]
     icm_moves: jax.Array     # [I] cumulative cluster exchanges
     icm_flips: jax.Array     # [I] cumulative Katzgraber flips
+    cl: jax.Array            # [I, S, R, n_pad] carried disagreement masks
+    dn: jax.Array            # [I, S, R] chains running heated NMC phases
 
 
 class EnsembleICM:
@@ -96,6 +114,16 @@ class EnsembleICM:
         self.cfg = cfg
         self.blocked0 = blocked[0]
         self.n_pad = blocked[0].n_pad
+        if not 0 <= cfg.hybrid_cold <= self.R:
+            raise ValueError(f"hybrid_cold={cfg.hybrid_cold} must be in "
+                             f"[0, R={self.R}]")
+        self._cycles = cfg.num_cycles if cfg.hybrid_cold > 0 else 1
+        # the hybrid_cold COLDEST temperatures (largest beta) get heated
+        # phases; a static bool-by-temperature vector
+        cold_t = np.zeros(self.R, bool)
+        if cfg.hybrid_cold > 0:
+            cold_t[np.argsort(beta_list)[-cfg.hybrid_cold:]] = True
+        self.cold_t = jnp.asarray(cold_t)
 
         if mesh is None:
             devs = jax.devices()
@@ -146,7 +174,7 @@ class EnsembleICM:
         Rk = self.S * self.R
         basic = (blocked[0].colored and Rk % 8 == 0
                  and dtype == jnp.float32
-                 and cfg.sweeps_per_round % 3 == 0)
+                 and cfg.sweeps_per_round % (3 * self._cycles) == 0)
         # same env override as EnsembleNMC: route n_pad~1152 dense shapes
         # to the streamed variant (axon compile-helper program-size crash)
         import os as _os
@@ -181,10 +209,11 @@ class EnsembleICM:
                 fails.append(f"S*R={Rk} must be a multiple of 8")
             if dtype != jnp.float32:
                 fails.append(f"dtype must be float32, got {dtype}")
-            if cfg.sweeps_per_round % 3 != 0:
+            if cfg.sweeps_per_round % (3 * self._cycles) != 0:
                 fails.append(
                     f"sweeps_per_round={cfg.sweeps_per_round} must divide "
-                    f"by 3 (kernel runs 3 plain phases)")
+                    f"by 3*num_cycles={3 * self._cycles} (the kernel runs "
+                    f"3 phases per cycle)")
             if basic:
                 fails.append("no VMEM-feasible dense or streamed layout "
                              "(NMC_TPU_ROUND_VMEM_CAP)")
@@ -212,7 +241,16 @@ class EnsembleICM:
             m_best=jax.device_put(jnp.ones((I, n_pad), self.h.dtype), inst),
             e_best=jax.device_put(jnp.full((I,), jnp.inf, self.h.dtype),
                                   inst),
-            icm_moves=z, icm_flips=z)
+            icm_moves=z, icm_flips=z,
+            # pure ICM carries dummy [I,1,1,1] masks: full-size zeros in
+            # the scan carry inflate the per-round program enough to trip
+            # the axon compile helper at chimera1152/2048 scale
+            cl=jax.device_put(
+                jnp.zeros((I, S, R, n_pad) if self.cfg.hybrid_cold > 0
+                          else (I, 1, 1, 1), bool), inst),
+            dn=jax.device_put(
+                jnp.zeros((I, S, R) if self.cfg.hybrid_cold > 0
+                          else (I, 1, 1), bool), inst))
 
     # ------------------------------------------------------------------
     def _build_round(self):
@@ -220,28 +258,69 @@ class EnsembleICM:
         R, S, n_pad = self.R, self.S, self.n_pad
         dtype = self.h.dtype
 
-        def sweep_stage(J_rows, J_diag, h, m, s2b, mb, eb, key,
+        def sweep_stage(J_rows, J_diag, h, m, s2b, mb, eb, cl, dn, key,
                         round_index):
-            """XLA sweep stage for ONE instance (vmapped)."""
+            """XLA sweep stage for ONE instance (vmapped). With
+            hybrid_cold=0 this is one plain run_sweeps call; with hybrid
+            on it mirrors EnsembleNMC's heat/refreeze/full cycle, with
+            the carried disagreement masks as clusters and each chain's
+            OWN label temperature as base (no global_beta quirk: hybrid
+            chains stay honest PT chains)."""
             J_full = J_rows.reshape(n_pad, n_pad)
             k = jax.random.fold_in(key, round_index)
             k_sw, _ = jax.random.split(k)
             act = jnp.broadcast_to(self.active, (S * R, n_pad))
             beta_chain = self.beta_list[s2b].astype(dtype)  # [S, R]
             flat = m.reshape(S * R, n_pad)
-            phi = jnp.matmul(flat, J_full, precision=cfg.precision) + h
-            res = run_sweeps(
-                J_rows, J_diag, h, flat, phi, k_sw,
-                jnp.ones((cfg.sweeps_per_round,), dtype),
-                beta_chain.reshape(S * R, 1), act,
-                num_sweeps=cfg.sweeps_per_round,
-                within_block=cfg.within_block, block_order="fixed",
-                record_m=False, precision=cfg.precision)
-            r_best = jnp.argmin(res.e_best)
-            imp = res.e_best[r_best] < eb
-            mb = jnp.where(imp, res.m_best[r_best], mb)
-            eb = jnp.where(imp, res.e_best[r_best], eb)
-            return res.m.reshape(S, R, n_pad), mb, eb
+
+            def track(res, mb, eb):
+                r_best = jnp.argmin(res.e_best)
+                imp = res.e_best[r_best] < eb
+                return (jnp.where(imp, res.m_best[r_best], mb),
+                        jnp.where(imp, res.e_best[r_best], eb))
+
+            if cfg.hybrid_cold == 0:
+                phi = jnp.matmul(flat, J_full, precision=cfg.precision) + h
+                res = run_sweeps(
+                    J_rows, J_diag, h, flat, phi, k_sw,
+                    jnp.ones((cfg.sweeps_per_round,), dtype),
+                    beta_chain.reshape(S * R, 1), act,
+                    num_sweeps=cfg.sweeps_per_round,
+                    within_block=cfg.within_block, block_order="fixed",
+                    record_m=False, precision=cfg.precision)
+                mb, eb = track(res, mb, eb)
+                return res.m.reshape(S, R, n_pad), mb, eb
+
+            base = beta_chain.reshape(S * R, 1)
+            clf = cl.reshape(S * R, n_pad)
+            dnf = dn.reshape(S * R, 1)
+            spp = cfg.sweeps_per_round // (3 * self._cycles)
+
+            def phase(mm, kk, beta_spin, mask):
+                phi = jnp.matmul(mm, J_full, precision=cfg.precision) + h
+                return run_sweeps(
+                    J_rows, J_diag, h, mm, phi, kk,
+                    jnp.ones((spp,), dtype), beta_spin, mask,
+                    num_sweeps=spp, within_block=cfg.within_block,
+                    block_order="fixed", record_m=False,
+                    precision=cfg.precision)
+
+            heat = jnp.where(dnf & clf,
+                             jnp.asarray(1.0 / cfg.temp_x, dtype), 1.0)
+            for cycle in range(self._cycles):
+                k_sw, kc, knc, kall = jax.random.split(k_sw, 4)
+                res = phase(flat, kc, base * heat,
+                            jnp.where(dnf, clf & act, act))
+                flat = jnp.where(dnf, res.m_best, res.m)
+                mb, eb = track(res, mb, eb)
+                res = phase(flat, knc, base,
+                            jnp.where(dnf, (~clf) & act, act))
+                flat = jnp.where(dnf, res.m_best, res.m)
+                mb, eb = track(res, mb, eb)
+                res = phase(flat, kall, base, act)
+                flat = jnp.where(dnf, res.m_best, res.m)
+                mb, eb = track(res, mb, eb)
+            return flat.reshape(S, R, n_pad), mb, eb
 
         def one_instance(J_rows, J_diag, h, src, dst,
                          m, b2s, s2b, mb, eb, moves, flips,
@@ -267,8 +346,36 @@ class EnsembleICM:
                     use_katzgraber=cfg.use_katzgraber)))(s1, s2, keys)
             m = m.at[sj[:, None], slot_j].set(s1n)
             m = m.at[sk[:, None], slot_k].set(s2n)
+            # the Katzgraber big-cluster branch flips the WHOLE state
+            # (clusters._houdayer_from_labels), padded spins included —
+            # energy-inert (zero couplings) but re-pin them to +1 to keep
+            # the padded-spin invariant every other stage relies on
+            m = jnp.where(self.active, m, jnp.ones((), dtype))
             moves = moves + jnp.sum(moved).astype(jnp.int32)
             flips = flips + jnp.sum(flipped).astype(jnp.int32)
+
+            # --- hybrid: disagreement sets -> next round's NMC masks ----
+            # the pre-exchange disagreement set (s1 != s2) marks exactly
+            # the pair's unresolved degrees of freedom (the union of all
+            # Houdayer clusters); the exchange permutes values WITHIN it,
+            # so the region stays the right thing to heat next round
+            if cfg.hybrid_cold > 0:
+                cl_new = jnp.zeros((S, R, n_pad), bool)
+                dn_new = jnp.zeros((S, R), bool)
+                diff = (s1 != s2) & self.active             # [P, R, n_pad]
+                n_act = jnp.sum(self.active)
+                frac = jnp.sum(diff, axis=-1) / n_act       # [P, R]
+                ok = ((frac > 0) & (frac <= cfg.max_heat_frac)
+                      & self.cold_t[None, :])               # [P, R]
+                mask = diff & ok[:, :, None]
+                cl_new = cl_new.at[sj[:, None], slot_j].set(mask)
+                cl_new = cl_new.at[sk[:, None], slot_k].set(mask)
+                dn_new = dn_new.at[sj[:, None], slot_j].set(ok)
+                dn_new = dn_new.at[sk[:, None], slot_k].set(ok)
+            else:
+                # dummy carries (see init_state)
+                cl_new = jnp.zeros((1, 1, 1), bool)
+                dn_new = jnp.zeros((1, 1), bool)
 
             # --- energies of carried states + per-sub label swaps --------
             flat = m.reshape(S * R, n_pad)
@@ -287,20 +394,28 @@ class EnsembleICM:
                 ee.astype(jnp.float32),
                 num_pairs=cfg.num_swapping_pairs))(swap_keys, b2s, e)
             return (m, swaps.beta_to_slot, swaps.slot_to_beta,
-                    mb, eb, moves, flips)
+                    mb, eb, moves, flips, cl_new, dn_new)
 
         def _kernel_sweeps(J_rows, h, state: EnsembleICMState):
             """Sweep stage for ALL instances in one pallas_call: the round
-            kernel with no NMC slots (3 plain phases) over the flattened
-            [I, S*R] chain batch."""
+            kernel over the flattened [I, S*R] chain batch — plain 3-phase
+            when hybrid is off (cl=dn=0), heated NMC cycles on the carried
+            disagreement masks when hybrid_cold > 0."""
             from ..ops.round_pallas import (pallas_ensemble_round,
                                             pallas_ensemble_round_streamed)
             I, Rk = self.I, S * R
             beta_chain = self.beta_list[state.slot_to_beta].astype(dtype)
             base = beta_chain.reshape(I, Rk)
             m0 = state.m.reshape(I, Rk, n_pad)
-            cl = jnp.zeros((I, Rk, n_pad), dtype)
-            dn = jnp.zeros((I, Rk), dtype)
+            if cfg.hybrid_cold > 0:
+                cl = state.cl.reshape(I, Rk, n_pad).astype(dtype)
+                dn = state.dn.reshape(I, Rk).astype(dtype)
+            else:
+                # pure ICM: constant zeros, NOT state reads — keeps the
+                # per-round program identical to the pre-hybrid code (the
+                # axon compile helper is size-sensitive at n_pad >= 1152)
+                cl = jnp.zeros((I, Rk, n_pad), dtype)
+                dn = jnp.zeros((I, Rk), dtype)
             k_round = jax.random.fold_in(
                 jax.random.fold_in(state.key, state.round_index),
                 jnp.uint32(0x1C31))
@@ -309,7 +424,8 @@ class EnsembleICM:
                   else k_round)
             seed = jax.lax.bitcast_convert_type(
                 kd.reshape(-1)[:2].astype(jnp.uint32), jnp.int32)
-            spp = cfg.sweeps_per_round // 3
+            spp = cfg.sweeps_per_round // (3 * self._cycles)
+            tx_inv = 1.0 / cfg.temp_x if cfg.hybrid_cold > 0 else 1.0
 
             if self._stream_tiles is not None:
                 col_idx, J_op = self._stream_tiles
@@ -317,8 +433,8 @@ class EnsembleICM:
                 def call(J, hh, m, clf, dnf, bb, sd):
                     return pallas_ensemble_round_streamed(
                         col_idx, J, hh, self.active, m, clf, dnf, bb, sd,
-                        num_cycles=1, sweeps_per_phase=spp,
-                        temp_x_inv=1.0,
+                        num_cycles=self._cycles, sweeps_per_phase=spp,
+                        temp_x_inv=tx_inv,
                         block_size=self.blocked0.block_size,
                         interpret=self._round_interpret)
             else:
@@ -327,8 +443,8 @@ class EnsembleICM:
                 def call(J, hh, m, clf, dnf, bb, sd):
                     return pallas_ensemble_round(
                         J, hh, self.active, m, clf, dnf, bb, sd,
-                        num_cycles=1, sweeps_per_phase=spp,
-                        temp_x_inv=1.0,
+                        num_cycles=self._cycles, sweeps_per_phase=spp,
+                        temp_x_inv=tx_inv,
                         block_size=self.blocked0.block_size,
                         interpret=self._round_interpret)
 
@@ -369,10 +485,11 @@ class EnsembleICM:
             else:
                 m, mb, eb = jax.vmap(
                     sweep_stage,
-                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None)
                 )(J_rows, J_diag, h, state.m, state.slot_to_beta,
-                  state.m_best, state.e_best, keys, state.round_index)
-            m, b2s, s2b, mb, eb, moves, flips = jax.vmap(
+                  state.m_best, state.e_best, state.cl, state.dn,
+                  keys, state.round_index)
+            m, b2s, s2b, mb, eb, moves, flips, cl, dn = jax.vmap(
                 one_instance,
                 in_axes=(0,) * 5 + (0, 0, 0, 0, 0, 0, 0, 0, None)
             )(J_rows, J_diag, h, src, dst, m,
@@ -382,7 +499,7 @@ class EnsembleICM:
             return EnsembleICMState(
                 m=m, beta_to_slot=b2s, slot_to_beta=s2b, key=state.key,
                 round_index=state.round_index + 1, m_best=mb, e_best=eb,
-                icm_moves=moves, icm_flips=flips)
+                icm_moves=moves, icm_flips=flips, cl=cl, dn=dn)
 
         return _round
 
