@@ -221,3 +221,76 @@ def plot_hardness_curve(jsonl_paths, out_png="hardness.png"):
     fig.savefig(out_png, dpi=130)
     plt.close(fig)
     return out_png
+
+
+def plot_hardness_surface(jsonl_paths, out_png="hardness_surface.png",
+                          metric="hit_rate"):
+    """Wishart (N, alpha) hardness SURFACE: one panel per solver arm, a
+    heatmap of ground-state hit rate (default) or median TTS over the
+    shipped wishart_small grid. N and alpha are parsed from the campaign
+    file/family names (`wishart_n40_a0.30_icm.jsonl` or
+    `wishart_planting_N_40_alpha_0.30`)."""
+    import json
+    import re
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    cells = {}        # arm -> {(N, alpha): value}
+    for path in jsonl_paths:
+        rs = [json.loads(l) for l in open(path)]
+        if not rs:
+            continue
+        meta = rs[0].get("meta", {})
+        text = (meta.get("family") or "") + " " + os.path.basename(path)
+        mn = re.search(r"(?:_n|N[_ ]?)(\d+)(?:_|\b)", text)
+        ma = re.search(r"(?:_a|alpha[_ ]?)(\d+\.\d+)", text)
+        if not (mn and ma):
+            continue
+        N, alpha = int(mn.group(1)), float(ma.group(1))
+        arm = meta.get("arm", "?")
+        hits = [r for r in rs if r["hit"]]
+        if metric == "hit_rate":
+            val = len(hits) / len(rs)
+        else:
+            tts = sorted(r["hit_seconds"] for r in hits)
+            val = tts[len(tts) // 2] if tts else np.nan
+        cells.setdefault(arm, {})[(N, alpha)] = val
+
+    arms = sorted(cells)
+    if not arms:
+        raise ValueError("no (N, alpha) campaign rows found")
+    Ns = sorted({k[0] for c in cells.values() for k in c})
+    alphas = sorted({k[1] for c in cells.values() for k in c})
+    fig, axes = plt.subplots(1, len(arms), figsize=(4 * len(arms), 3.4),
+                             squeeze=False)
+    for ax, arm in zip(axes[0], arms):
+        grid = np.full((len(Ns), len(alphas)), np.nan)
+        for (N, a), v in cells[arm].items():
+            grid[Ns.index(N), alphas.index(a)] = v
+        im = ax.imshow(grid, origin="lower", aspect="auto",
+                       vmin=0, vmax=1 if metric == "hit_rate" else None,
+                       cmap="viridis")
+        ax.set_xticks(range(len(alphas)))
+        ax.set_xticklabels([f"{a:g}" for a in alphas], fontsize=8)
+        ax.set_yticks(range(len(Ns)))
+        ax.set_yticklabels([str(n) for n in Ns], fontsize=8)
+        ax.set_xlabel("alpha")
+        ax.set_ylabel("N")
+        ax.set_title(arm)
+        for i in range(len(Ns)):
+            for j in range(len(alphas)):
+                if grid[i, j] == grid[i, j]:
+                    ax.text(j, i, f"{grid[i, j]:.2f}", ha="center",
+                            va="center", fontsize=7,
+                            color="w" if grid[i, j] < 0.6 else "k")
+        fig.colorbar(im, ax=ax, shrink=0.85)
+    fig.suptitle("wishart planting hardness surface: "
+                 + ("ground-state hit rate" if metric == "hit_rate"
+                    else "median TTS (s)"))
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=130)
+    plt.close(fig)
+    return out_png

@@ -275,6 +275,28 @@ def test_plot_hardness_curve(tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def test_plot_hardness_surface(tmp_path):
+    import json
+
+    from nmc_tpu.utils.plotting import plot_hardness_surface
+    paths = []
+    for n, alpha, arm, hit in [("20", "0.30", "pt", True),
+                               ("40", "0.30", "pt", False),
+                               ("20", "0.50", "icm", True),
+                               ("40", "0.50", "icm", True)]:
+        p = tmp_path / f"wishart_n{n}_a{alpha}_{arm}.jsonl"
+        p.write_text(json.dumps(dict(
+            name="i1", hit=hit, hit_seconds=2.0 if hit else None,
+            residual=0.0 if hit else 0.5, gs_raw=-10.0,
+            meta=dict(family=f"wishart_n{n}_a{alpha}", arm=arm))))
+        paths.append(str(p))
+    out = plot_hardness_surface(paths, str(tmp_path / "s.png"))
+    assert os.path.getsize(out) > 0
+    out2 = plot_hardness_surface(paths, str(tmp_path / "s2.png"),
+                                 metric="tts")
+    assert os.path.getsize(out2) > 0
+
+
 def test_build_apt_ladder():
     """The campaign's --ladder apt path: adaptive schedule from the APT
     preprocessor, sorted ascending, padded to a multiple of 8 rungs by
