@@ -223,6 +223,56 @@ def plot_hardness_curve(jsonl_paths, out_png="hardness.png"):
     return out_png
 
 
+def plot_residual_trace(trace_paths, out_png="residual_trace.png",
+                        labels=None):
+    """Convergence curves from campaign `--trace` files: per-instance raw
+    residual (best-so-far minus shipped ground energy) and cumulative hit
+    count vs sweeps. One color per trace file (family/arm). The measured
+    demonstration of what a sweep budget buys on the deep-budget chimera
+    runs."""
+    import json
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    for ti, path in enumerate(trace_paths):
+        rows = [json.loads(l) for l in open(path) if l.strip()]
+        if not rows:
+            continue
+        label = (labels[ti] if labels else
+                 os.path.basename(path).replace(".jsonl.trace", ""))
+        sweeps = np.array([r["sweeps"] for r in rows], float)
+        res = np.array([[x if x is not None else np.nan
+                         for x in r["residual_raw"]] for r in rows])
+        color = f"C{ti}"
+        med = np.nanmedian(res, axis=1)
+        q90 = np.nanquantile(res, 0.9, axis=1)
+        ax1.plot(sweeps, np.maximum(med, 1e-6), "-", color=color,
+                 label=f"{label} (median)")
+        ax1.plot(sweeps, np.maximum(q90, 1e-6), "--", color=color,
+                 alpha=0.6, label=f"{label} (p90)")
+        ax2.plot(sweeps, [r["hits"] for r in rows], "-", color=color,
+                 label=f"{label} ({rows[-1]['hits']}/{res.shape[1]})")
+    ax1.set_xlabel("sweeps")
+    ax1.set_ylabel("raw energy residual to ground state")
+    ax1.set_xscale("log")
+    ax1.set_yscale("log")
+    ax1.legend(fontsize=8)
+    ax1.set_title("residual convergence")
+    ax2.set_xlabel("sweeps")
+    ax2.set_ylabel("instances at ground state")
+    ax2.set_xscale("log")
+    ax2.legend(fontsize=8)
+    ax2.set_title("cumulative ground-state hits")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=130)
+    plt.close(fig)
+    return out_png
+
+
 def plot_hardness_surface(jsonl_paths, out_png="hardness_surface.png",
                           metric="hit_rate"):
     """Wishart (N, alpha) hardness SURFACE: one panel per solver arm, a

@@ -297,6 +297,19 @@ def test_plot_hardness_surface(tmp_path):
     assert os.path.getsize(out2) > 0
 
 
+def test_plot_residual_trace(tmp_path):
+    import json
+
+    from nmc_tpu.utils.plotting import plot_residual_trace
+    p = tmp_path / "fam_icm_10M.jsonl.trace"
+    p.write_text("\n".join(json.dumps(dict(
+        rounds=25 * (i + 1), sweeps=14400 * (i + 1), seconds=6.0 * (i + 1),
+        hits=min(i, 3), residual_raw=[max(4.0 - i, 0.0), 2.0, None]))
+        for i in range(5)))
+    out = plot_residual_trace([str(p)], str(tmp_path / "t.png"))
+    assert os.path.getsize(out) > 0
+
+
 def test_build_apt_ladder():
     """The campaign's --ladder apt path: adaptive schedule from the APT
     preprocessor, sorted ascending, padded to a multiple of 8 rungs by
