@@ -1,0 +1,66 @@
+"""End-to-end campaign engine test on CPU: solve_ensemble_batch through
+the CLI main, on a tiny shipped wishart folder with exact ground truths —
+covers record streaming, --trace residual curves, the .partial crash
+snapshot, and per-instance resume (the machinery the TPU deep-budget runs
+depend on)."""
+
+import json
+import os
+
+import pytest
+
+FOLDER = ("/root/reference/NPT/examples/wishart_small/"
+          "wishart_planting_N_10_alpha_0.50")
+
+
+@pytest.mark.skipif(not os.path.isdir(FOLDER),
+                    reason="reference wishart_small not present")
+def test_campaign_ensemble_trace_and_resume(tmp_path):
+    from nmc_tpu.campaign import main
+
+    out = str(tmp_path / "camp.jsonl")
+    args = ["--folder", FOLDER, "--kind", "wishart",
+            "--instances", "4", "--replicas", "8", "--beta-max", "8",
+            "--chunk-rounds", "3", "--sweeps", "8000", "--arm", "pt",
+            "--trace", "--out", out]
+    main(args)
+
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    for r in recs:
+        assert r["gs_raw"] is not None
+        assert r["rounds_completed"] >= 1
+        if r["hit"]:
+            assert r["hit_seconds"] is not None
+            assert abs(r["residual"]) <= max(1e-6 * abs(r["gs_raw"]), 1e-6)
+    # N=10 alpha=0.50 is trivially easy — PT at 8 replicas must solve some
+    assert sum(r["hit"] for r in recs) >= 2
+
+    # trace rows streamed per chunk with strict-JSON residuals
+    trace = [json.loads(l) for l in open(out + ".trace")]
+    assert trace and all(len(t["residual_raw"]) == 4 for t in trace)
+    assert trace[-1]["hits"] == sum(r["hit"] for r in recs)
+
+    # the crash snapshot is superseded (removed) on clean completion
+    assert not os.path.exists(out + ".partial")
+
+    # resume: a second invocation skips everything already recorded
+    main(args)
+    recs2 = [json.loads(l) for l in open(out)]
+    assert len(recs2) == 4
+
+
+@pytest.mark.skipif(not os.path.isdir(FOLDER),
+                    reason="reference wishart_small not present")
+def test_campaign_hybrid_arm_cli(tmp_path):
+    from nmc_tpu.campaign import main
+
+    out = str(tmp_path / "hy.jsonl")
+    main(["--folder", FOLDER, "--kind", "wishart",
+          "--instances", "4", "--replicas", "8", "--beta-max", "8",
+          "--chunk-rounds", "3", "--sweeps", "8000", "--arm", "hybrid",
+          "--subreplicas", "2", "--nmc-cold", "3", "--out", out])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    assert sum(r["hit"] for r in recs) >= 2
+    assert recs[0]["meta"]["arm"] == "hybrid"
