@@ -241,30 +241,30 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
                         _num((best64[i] - gs_norm[i]) * factors[i])
                         for i in range(I)],
                 )) + "\n")
-            # crash/deadline insurance: a full per-instance record
-            # snapshot, atomically replaced each chunk — a killed run
-            # still leaves final-quality records at the last chunk
-            tmp = out_path + ".partial.tmp"
-            with open(tmp, "w") as f:
-                for i, name in enumerate(names):
-                    hit = name in hit_at
-                    f.write(json.dumps(dict(
-                        name=name, n=probs[i].n,
-                        gs_raw=_num(gs_norm[i] * factors[i]),
-                        found_raw=_num(best64[i] * factors[i]),
-                        residual=_num((best64[i] - gs_norm[i])
-                                      * factors[i]),
-                        hit=hit,
-                        hit_seconds=hit_at[name][1] if hit else None,
-                        hit_sweeps=(hit_at[name][0] * sweeps_per_round
-                                    if hit else None),
-                        rounds_completed=rounds_done,
-                        rounds_total=total_rounds,
-                        per_swap=sweeps_per_round, wall_seconds=now,
-                        meta=dict(meta, mode="ensemble", batch=I,
-                                  partial=True),
-                    )) + "\n")
-            os.replace(tmp, out_path + ".partial")
+        # crash/deadline insurance for EVERY run (not only --trace): a
+        # full per-instance record snapshot, atomically replaced each
+        # chunk — a killed run still leaves final-quality records at the
+        # last chunk
+        tmp = out_path + ".partial.tmp"
+        with open(tmp, "w") as f:
+            for i, name in enumerate(names):
+                hit = name in hit_at
+                f.write(json.dumps(dict(
+                    name=name, n=probs[i].n,
+                    gs_raw=_num(gs_norm[i] * factors[i]),
+                    found_raw=_num(best64[i] * factors[i]),
+                    residual=_num((best64[i] - gs_norm[i]) * factors[i]),
+                    hit=hit,
+                    hit_seconds=hit_at[name][1] if hit else None,
+                    hit_sweeps=(hit_at[name][0] * sweeps_per_round
+                                if hit else None),
+                    rounds_completed=rounds_done,
+                    rounds_total=total_rounds,
+                    per_swap=sweeps_per_round, wall_seconds=now,
+                    meta=dict(meta, mode="ensemble", batch=I,
+                              partial=True),
+                )) + "\n")
+        os.replace(tmp, out_path + ".partial")
     wall = time.perf_counter() - t0
 
     for i, name in enumerate(names):

@@ -118,6 +118,16 @@ class EnsembleICM:
             raise ValueError(f"hybrid_cold={cfg.hybrid_cold} must be in "
                              f"[0, R={self.R}]")
         self._cycles = cfg.num_cycles if cfg.hybrid_cold > 0 else 1
+        if cfg.hybrid_cold > 0 and cfg.sweeps_per_round % (3 * self._cycles):
+            # with hybrid on, both the kernel AND the XLA path split the
+            # round into 3 phases per cycle — a non-divisible budget
+            # would silently floor (or zero) the sweep count. Pure ICM's
+            # XLA path runs one unsplit run_sweeps call, so only the
+            # kernel gate constrains it.
+            raise ValueError(
+                f"sweeps_per_round={cfg.sweeps_per_round} must be a "
+                f"multiple of 3*num_cycles={3 * self._cycles} when "
+                f"hybrid_cold > 0")
         # the hybrid_cold COLDEST temperatures (largest beta) get heated
         # phases; a static bool-by-temperature vector
         cold_t = np.zeros(self.R, bool)
@@ -355,14 +365,18 @@ class EnsembleICM:
             flips = flips + jnp.sum(flipped).astype(jnp.int32)
 
             # --- hybrid: disagreement sets -> next round's NMC masks ----
-            # the pre-exchange disagreement set (s1 != s2) marks exactly
+            # the POST-move disagreement set (s1n != s2n) marks exactly
             # the pair's unresolved degrees of freedom (the union of all
-            # Houdayer clusters); the exchange permutes values WITHIN it,
-            # so the region stays the right thing to heat next round
+            # Houdayer clusters). Post-move, not pre-move: the exchange
+            # branch permutes values WITHIN the set (same region), but
+            # the Katzgraber big-cluster branch flips all of s1 — there
+            # the true disagreement becomes the COMPLEMENT of the
+            # pre-move set, and a pre-move mask would heat exactly the
+            # resolved spins
             if cfg.hybrid_cold > 0:
                 cl_new = jnp.zeros((S, R, n_pad), bool)
                 dn_new = jnp.zeros((S, R), bool)
-                diff = (s1 != s2) & self.active             # [P, R, n_pad]
+                diff = (s1n != s2n) & self.active           # [P, R, n_pad]
                 n_act = jnp.sum(self.active)
                 frac = jnp.sum(diff, axis=-1) / n_act       # [P, R]
                 ok = ((frac > 0) & (frac <= cfg.max_heat_frac)

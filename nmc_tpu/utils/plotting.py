@@ -232,10 +232,7 @@ def plot_residual_trace(trace_paths, out_png="residual_trace.png",
     runs."""
     import json
 
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    import numpy as np
+    plt = _plt()
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
     for ti, path in enumerate(trace_paths):
@@ -245,8 +242,14 @@ def plot_residual_trace(trace_paths, out_png="residual_trace.png",
         label = (labels[ti] if labels else
                  os.path.basename(path).replace(".jsonl.trace", ""))
         sweeps = np.array([r["sweeps"] for r in rows], float)
-        res = np.array([[x if x is not None else np.nan
-                         for x in r["residual_raw"]] for r in rows])
+        # a resumed rerun appends rows with fewer pending instances —
+        # pad ragged rows with NaN so the quantiles stay well-defined
+        width = max(len(r["residual_raw"]) for r in rows)
+        res = np.full((len(rows), width), np.nan)
+        for i, r in enumerate(rows):
+            vals = [x if x is not None else np.nan
+                    for x in r["residual_raw"]]
+            res[i, :len(vals)] = vals
         color = f"C{ti}"
         med = np.nanmedian(res, axis=1)
         q90 = np.nanquantile(res, 0.9, axis=1)
@@ -283,14 +286,11 @@ def plot_hardness_surface(jsonl_paths, out_png="hardness_surface.png",
     import json
     import re
 
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    import numpy as np
+    plt = _plt()
 
     cells = {}        # arm -> {(N, alpha): value}
     for path in jsonl_paths:
-        rs = [json.loads(l) for l in open(path)]
+        rs = [json.loads(l) for l in open(path) if l.strip()]
         if not rs:
             continue
         meta = rs[0].get("meta", {})

@@ -2,22 +2,23 @@
 # Hybrid ICM+NMC arm (VERDICT round-3 item 4): Houdayer disagreement sets
 # as heated-cluster masks for NMC phases. Campaign rows at the budgets of
 # the round-2 single arms so med-TTS/hit-rate compare directly:
-#   chimera512 (ICM won: 93/100, med TTS 1059s at batch-100)
 #   dcl8       (NMC won: 20/20, med TTS 32.5s)
+#   chimera512 20 instances (ICM won: 19/20, med TTS 330s at this batch)
 #   chimera1152 @1.6M (ICM 2/20 at this budget in round 2)
+# Run directly or via scripts/r3_queue/ under the chain's deadline gate.
 set -x
 cd /root/repo
 OUT=results/campaign
 
 run_gate() {
   local rem=$(( ${DEADLINE:-9999999999} - $(date +%s) ))
-  if [ "$rem" -lt 600 ]; then echo "DEADLINE: skip $*"; return 1; fi
+  if [ "$rem" -lt 600 ]; then echo "DEADLINE: skip $*"; return 0; fi
   local t=$1; shift
   [ "$rem" -lt "$t" ] && t=$rem
-  timeout "$t" "$@"
+  timeout "$t" "$@" || echo "run failed/cut (continuing)"
 }
 
-HY="--arm hybrid --subreplicas 2 --nmc-cold 6 --temp-x 20"
+HY="--arm hybrid --subreplicas 2 --nmc-cold 6 --temp-x 20 --trace"
 
 run_gate 2400 python -m nmc_tpu campaign --family dcl8 --instances 20 \
   --replicas 32 --beta-max 32 --chunk-rounds 25 $HY --sweeps 3200000 \
