@@ -30,9 +30,4 @@ run_gate 5400 python -m nmc_tpu campaign --family chimera512 --instances 20 \
   --replicas 32 --beta-max 32 --chunk-rounds 50 $HY --sweeps 3200000 \
   --out $OUT/chimera512_hybrid_3200k.jsonl
 
-run_gate 5400 env NMC_TPU_ROUND_VMEM_CAP=6000000 \
-  python -m nmc_tpu campaign --family chimera1152 --instances 20 \
-  --replicas 32 --beta-max 32 --chunk-rounds 25 $HY --sweeps 1600000 \
-  --out $OUT/chimera1152_hybrid_1600k.jsonl
-
 echo "HYBRID ARM DONE"
