@@ -186,10 +186,22 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
     beta = beta_ref[0]
 
     def dma(slot, b):
-        # one contiguous [K, B, B] slab of this instance's nonzero column
-        # tiles for row block b
+        # one contiguous [B, K*B] slab: row block b's K nonzero column
+        # tiles laid side by side (wrapper pre-concatenates), so the phi
+        # update is ONE [R, B] x [B, K*B] MXU matmul per row block
+        # instead of K narrow [R, B] x [B, B] ones
         return pltpu.make_async_copy(J_tiles_ref.at[g, b], tbuf.at[slot],
                                      sems.at[slot])
+
+    def scatter_phi(b, out):
+        # out[:, k*B:(k+1)*B] is row block b's contribution to column
+        # tile col_idx[b, k]; distinct k hit distinct column tiles, so
+        # this is bit-identical to the former per-tile matmuls
+        for k in range(K):
+            c = col_idx_ref[b * K + k]
+            cs = pl.multiple_of(c * B, B)
+            phi[:, pl.ds(cs, B)] = (phi[:, pl.ds(cs, B)]
+                                    + out[:, k * B:(k + 1) * B])
 
     m_ref[0] = m_in_ref[0]
 
@@ -206,13 +218,11 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
                 dma((b + 1) % 2, b + 1).start()
             dma(slot, b).wait()
             s = b * B
-            for k in range(K):
-                c = col_idx_ref[b * K + k]
-                cs = pl.multiple_of(c * B, B)
-                phi[:, pl.ds(cs, B)] = phi[:, pl.ds(cs, B)] + jnp.dot(
-                    m_ref[0, :, s:s + B].astype(tbuf.dtype), tbuf[slot, k],
-                    preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            out = jnp.dot(m_ref[0, :, s:s + B].astype(tbuf.dtype),
+                          tbuf[slot],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            scatter_phi(b, out)
 
     eb_ref[0] = jnp.full((R, 1), jnp.inf, jnp.float32)
     mb_ref[0] = m_ref[0]
@@ -258,13 +268,10 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
             new = jnp.where(mkb[:, pl.ds(s, B)] > 0, new, mb)
             dm = new - mb
             m_ref[0, :, pl.ds(s, B)] = new
-            for k in range(K):
-                c = col_idx_ref[b * K + k]
-                cs = pl.multiple_of(c * B, B)
-                phi[:, pl.ds(cs, B)] = phi[:, pl.ds(cs, B)] + jnp.dot(
-                    dm.astype(tbuf.dtype), tbuf[slot, k],
-                    preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            out = jnp.dot(dm.astype(tbuf.dtype), tbuf[slot],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            scatter_phi(b, out)
 
             @pl.when(b == nB - 1)
             def _():
@@ -325,6 +332,12 @@ def pallas_ensemble_round_streamed(
     if sweeps_per_phase < 1:
         raise ValueError(f"sweeps_per_phase must be >= 1, got {sweeps_per_phase}")
     phases = _phase_list(num_cycles, full_update_frequency)
+    # Lay each row block's K column tiles side by side ([B, K*B]) so the
+    # kernel's phi update is one wide MXU matmul per row block. Loop-
+    # invariant inside the callers' scan bodies, so XLA hoists it — one
+    # HBM copy, not one per round.
+    J_cat = jnp.asarray(J_tiles).transpose(0, 1, 3, 2, 4).reshape(
+        I, nB, B, K * B)
 
     kern = functools.partial(_streamed_round_kernel, phases,
                              sweeps_per_phase, nB, B, K, temp_x_inv,
@@ -350,7 +363,7 @@ def pallas_ensemble_round_streamed(
             pltpu.VMEM((R, 1), jnp.float32),       # e phase-best
             pltpu.VMEM((R, n_pad), jnp.float32),   # per-spin beta mult
             pltpu.VMEM((R, n_pad), jnp.float32),   # update mask
-            pltpu.VMEM((2, K, B, B), J_tiles.dtype),   # tile double buffer
+            pltpu.VMEM((2, B, K * B), J_tiles.dtype),  # tile double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -366,7 +379,7 @@ def pallas_ensemble_round_streamed(
     )(
         _seed2(seed),
         jnp.asarray(col_idx, jnp.int32).reshape(-1),
-        jnp.asarray(J_tiles),
+        J_cat,
         jnp.asarray(h, jnp.float32).reshape(I, 1, n_pad),
         jnp.asarray(act, jnp.float32).reshape(1, 1, n_pad),
         jnp.asarray(cl, jnp.float32),

@@ -407,7 +407,9 @@ def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
     total = num_sweeps * num_blocks
 
     def dma(slot, b):
-        # one contiguous [K, B, B] slab of nonzero column tiles per block
+        # one contiguous [B, K*B] slab: row block b's K nonzero column
+        # tiles side by side (wrapper pre-concatenates), so the phi
+        # update is ONE wide MXU matmul per row block
         return pltpu.make_async_copy(J_tiles_hbm_ref.at[b], tbuf.at[slot],
                                      sems.at[slot])
 
@@ -447,13 +449,16 @@ def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
         dm = new - mb
         m_ref[:, pl.ds(s, B)] = new
         # phi update over the nonzero column tiles only (zero-padded tiles
-        # write a harmless zero delta to column block 0)
+        # write a harmless zero delta to column block 0); the slice
+        # out[:, k*B:(k+1)*B] equals the former per-tile matmul exactly
+        out = jnp.dot(dm.astype(tbuf.dtype), tbuf[slot],
+                      preferred_element_type=jnp.float32,
+                      precision=precision)
         for k in range(K):
             j = col_idx_ref[b * K + k]
             c = pl.multiple_of(j * B, B)
-            phi_ref[:, pl.ds(c, B)] = phi_ref[:, pl.ds(c, B)] + jnp.dot(
-                dm.astype(tbuf.dtype), tbuf[slot, k],
-                preferred_element_type=jnp.float32, precision=precision)
+            phi_ref[:, pl.ds(c, B)] = (phi_ref[:, pl.ds(c, B)]
+                                       + out[:, k * B:(k + 1) * B])
 
         @pl.when(b == num_blocks - 1)
         def _():
@@ -545,7 +550,7 @@ def pallas_colored_sweeps_sparse(
                          memory_space=vm),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, K, B, B), J_tiles.dtype),  # tile double buffer
+            pltpu.VMEM((2, B, K * B), J_tiles.dtype),  # tile double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
