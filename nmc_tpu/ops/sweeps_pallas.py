@@ -399,6 +399,11 @@ def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
     # sweep-batch streams the way a single 31-bit draw could
     pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
 
+    # m_in/phi_in are ALIASED to m/phi on TPU, so these are no-op
+    # self-copies there; the interpreter gives outputs fresh NaN buffers,
+    # so the explicit copy is what initializes state in interpret mode.
+    m_ref[:] = m_in_ref[:]
+    phi_ref[:] = phi_in_ref[:]
     mbest_ref[:] = m_ref[:]
     ebest_ref[:] = jnp.full((r_tile, 1), jnp.inf, jnp.float32)
 
@@ -476,7 +481,8 @@ def _sparse_streamed_kernel(num_sweeps, num_blocks, block_size, num_tiles,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "block_size", "r_tile", "precision"),
+    static_argnames=("num_sweeps", "block_size", "r_tile", "precision",
+                     "interpret"),
 )
 def pallas_colored_sweeps_sparse(
     col_idx,      # [nB, K] int32 nonzero column-tile indices per row block
@@ -488,6 +494,7 @@ def pallas_colored_sweeps_sparse(
     block_size: int = 128,
     r_tile: int = 128,
     precision: str = "highest",
+    interpret: bool = False,
 ) -> PallasSweepResult:
     """Block-SPARSE streaming colored kernel: per spin block only the
     nonzero [B, B] column tiles of J are DMA'd and multiplied — cuts both
@@ -500,6 +507,11 @@ def pallas_colored_sweeps_sparse(
     heated-cluster phase — together they run the NMC C/NC phases
     (/root/reference/NMC/nmc.py:377-406) at sparse-streaming speed."""
     nB, K, B, _ = J_tiles.shape
+    # Lay each row block's K column tiles side by side ([B, K*B]) so the
+    # kernel's phi update is one wide MXU matmul per row block (mirrors
+    # pallas_ensemble_round_streamed). Loop-invariant; XLA hoists it out
+    # of callers' scan bodies.
+    J_cat = jnp.asarray(J_tiles).transpose(0, 2, 1, 3).reshape(nB, B, K * B)
     n_pad = m0.shape[1]
     R = m0.shape[0]
     if R % r_tile or (r_tile % 128 and r_tile != R):
@@ -566,11 +578,12 @@ def pallas_colored_sweeps_sparse(
         # 0:seed 1:beta_sweep 2:col_idx 3:tiles 4:h 5:beta 6:bs 7:mask
         # 8:m 9:phi
         input_output_aliases={8: 0, 9: 1},
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(
         _seed2(seed),
         jnp.broadcast_to(jnp.asarray(beta_sweep, jnp.float32), (num_sweeps,)),
         jnp.asarray(col_idx, jnp.int32).reshape(-1),
-        jnp.asarray(J_tiles),
+        J_cat,
         jnp.asarray(h, jnp.float32),
         jnp.asarray(beta_row, jnp.float32).reshape(R, 1),
         bs,

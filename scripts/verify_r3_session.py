@@ -72,4 +72,27 @@ moved = (np.asarray(out.m) != m0).any()
 print(f"streamed round kernel on TPU: worst |e_carried - f64| = {worst:.2e}, "
       f"padding frozen, moved={bool(moved)}")
 assert moved, "kernel made no moves (PRNG inactive?)"
+
+# --- 3) sparse streaming SWEEP kernel on REAL TPU (wide-matmul phi) -------
+from nmc_tpu.ops.sweeps_pallas import pallas_colored_sweeps_sparse
+
+prob3 = ea_2d(16, seed=0)
+groups3 = color_groups(np.asarray(prob3.J))
+b3 = block_problem(prob3, block_size=128, groups=groups3)
+J3 = np.asarray(b3.J_rows.reshape(b3.n_pad, b3.n_pad))
+rng3 = np.random.default_rng(0)
+m0_3 = np.where(rng3.random((8, b3.n_pad)) < 0.5, -1.0, 1.0).astype(np.float32)
+m0_3[:, ~b3.active] = 1.0
+phi0_3 = (m0_3 @ J3 + np.asarray(b3.h)).astype(np.float32)
+ci3, jt3 = block_sparse_tiles(b3)
+res3 = pallas_colored_sweeps_sparse(
+    ci3, jt3, b3.h, m0_3, phi0_3, 42, np.full(10, 1.0, np.float32),
+    np.ones(8, np.float32), b3.active, num_sweeps=10, block_size=128,
+    r_tile=8)
+m3 = np.asarray(res3.m)
+assert set(np.unique(m3)) <= {-1.0, 1.0}
+np.testing.assert_allclose(np.asarray(res3.phi),
+                           m3 @ J3 + np.asarray(b3.h), atol=1e-3)
+assert (m3 != m0_3).any(), "sparse sweep kernel made no moves"
+print("sparse streaming sweep kernel on TPU: phi invariant holds, spins moved")
 print("VERIFY OK")
