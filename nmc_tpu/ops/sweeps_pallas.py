@@ -218,8 +218,11 @@ def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
     g = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
 
-    # m_in/phi_in are ALIASED to m/phi (input_output_aliases): the state
-    # buffers arrive initialized, no copy and no duplicate VMEM blocks
+    # m_in/phi_in are ALIASED to m/phi (input_output_aliases), so on TPU
+    # these are no-op self-copies; the interpreter gives outputs fresh
+    # NaN buffers, so the explicit copy initializes state there.
+    m_ref[:] = m_in_ref[:]
+    phi_ref[:] = phi_in_ref[:]
     mbest_ref[:] = m_ref[:]
     ebest_ref[:] = jnp.full((r_tile, 1), jnp.inf, jnp.float32)
 
@@ -282,7 +285,8 @@ def _streamed_kernel(num_sweeps, num_blocks, block_size, r_tile, n_pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_sweeps", "block_size", "r_tile", "precision"),
+    static_argnames=("num_sweeps", "block_size", "r_tile", "precision",
+                     "interpret"),
 )
 def pallas_colored_sweeps_streamed(
     J_blocks,     # [nB, B, n_pad] float32, stays in HBM (streamed per block)
@@ -299,6 +303,7 @@ def pallas_colored_sweeps_streamed(
     block_size: int = 128,
     r_tile: int = 128,
     precision: str = "highest",
+    interpret: bool = False,
 ) -> PallasSweepResult:
     """Colored multi-sweep kernel for J too large for VMEM: states stay
     VMEM-resident for all sweeps, J row-blocks double-buffer from HBM
@@ -371,6 +376,7 @@ def pallas_colored_sweeps_streamed(
         # operand indices count the scalar-prefetch args too:
         # 0:seed 1:beta_sweep 2:J 3:h 4:beta_row 5:bs 6:mask 7:m0 8:phi0
         input_output_aliases={7: 0, 8: 1},
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(
         _seed2(seed),
         jnp.broadcast_to(jnp.asarray(beta_sweep, jnp.float32), (num_sweeps,)),

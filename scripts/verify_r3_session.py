@@ -95,4 +95,19 @@ np.testing.assert_allclose(np.asarray(res3.phi),
                            m3 @ J3 + np.asarray(b3.h), atol=1e-3)
 assert (m3 != m0_3).any(), "sparse sweep kernel made no moves"
 print("sparse streaming sweep kernel on TPU: phi invariant holds, spins moved")
+
+# --- 4) HBM-streamed dense sweep kernel on REAL TPU (aliased-init copy) ---
+from nmc_tpu.ops.sweeps_pallas import pallas_colored_sweeps_streamed
+import jax.numpy as jnp
+
+res4 = pallas_colored_sweeps_streamed(
+    jnp.asarray(b3.J_rows), b3.h, m0_3, phi0_3, 42,
+    np.full(10, 1.0, np.float32), np.ones(8, np.float32), b3.active,
+    num_sweeps=10, block_size=128, r_tile=8)
+m4 = np.asarray(res4.m)
+assert set(np.unique(m4)) <= {-1.0, 1.0}
+np.testing.assert_allclose(np.asarray(res4.phi),
+                           m4 @ J3 + np.asarray(b3.h), atol=1e-3)
+assert (m4 != m0_3).any(), "streamed sweep kernel made no moves"
+print("HBM-streamed sweep kernel on TPU: phi invariant holds, spins moved")
 print("VERIFY OK")

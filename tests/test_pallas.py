@@ -129,6 +129,24 @@ def test_streamed_kernel_invariants_tpu(rng):
                                m @ Jf + np.asarray(h), atol=1e-3)
 
 
+def test_streamed_kernel_interpret(rng):
+    """CPU interpret-mode run of the HBM-streamed dense kernel: phi
+    bookkeeping (and the aliased-state init copy) must hold without TPU
+    hardware."""
+    from nmc_tpu.ops.sweeps_pallas import pallas_colored_sweeps_streamed
+    prob = ea_2d(16, seed=0)
+    b, J, h, m0, phi0, _ = _setup(prob, R=8, block_size=128)
+    res = pallas_colored_sweeps_streamed(
+        jnp.asarray(b.J_rows), h, m0, phi0, 42, np.full(3, 1.0, np.float32),
+        np.ones(8, np.float32), b.active, num_sweeps=3, block_size=128,
+        r_tile=8, interpret=True)
+    m = np.asarray(res.m)
+    assert set(np.unique(m)) <= {-1.0, 1.0}
+    Jf = np.asarray(b.J_rows.reshape(b.n_pad, b.n_pad))
+    np.testing.assert_allclose(np.asarray(res.phi),
+                               m @ Jf + np.asarray(h), atol=1e-3)
+
+
 def test_sparse_streamed_tile_layout_interpret(rng):
     """CPU interpret-mode run of the sparse streaming kernel. The
     interpret PRNG stub makes the spin draws deterministic, but the phi
