@@ -277,6 +277,62 @@ def disagreement_labels_sparse(
                            n if num_iters is None else num_iters)
 
 
+def disagreement_labels_blocked(
+    col_idx: jax.Array, adj_tiles: jax.Array, s1: jax.Array, s2: jax.Array,
+    *, num_iters: Optional[int] = None,
+) -> jax.Array:
+    """Block-sparse-tile variant of disagreement_labels_sparse: min-label
+    propagation over the same [nB, K] union column-tile layout the
+    whole-round kernel streams (parallel/ensemble_nmc._union_tiles).
+
+    Each propagation step is one fused masked-min over the resident
+    tiles — no segment_min scatter, which is the TPU bottleneck of the
+    edge-list path at chimera2048 scale (results/icm_phase_breakdown.json
+    measured the scatter-based Houdayer at 1.3x the cost of a FULL
+    96-sweep round). Exact: identical fixed point to the sparse/dense
+    variants (component-min labels), so _houdayer_from_labels draws the
+    same move for the same key.
+
+    col_idx:   [nB, K] int32 block-column ids (union pattern)
+    adj_tiles: [nB, K, B, B] bool adjacency (row-block spin i adjacent to
+               col-block spin j), e.g. `J_tiles != 0`
+    """
+    nB, K, B, _ = adj_tiles.shape
+    n = nB * B
+    assert s1.shape[0] == n, (s1.shape, adj_tiles.shape)
+    diff = (s1 * s2) < 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    labels0 = jnp.where(diff, idx, jnp.int32(n))
+    big = jnp.int32(n)
+    diff_b = diff.reshape(nB, B)
+
+    def propagate(labels):
+        lab_c = labels.reshape(nB, B)[col_idx]       # [nB, K, B]
+        dif_c = diff_b[col_idx]                      # [nB, K, B]
+        cand = jnp.where(adj_tiles & dif_c[:, :, None, :],
+                         lab_c[:, :, None, :], big)  # [nB, K, Brow, Bcol]
+        return jnp.min(cand, axis=(1, 3)).reshape(n)
+
+    return _label_fixpoint(propagate, labels0, diff, n,
+                           n if num_iters is None else num_iters)
+
+
+def houdayer_move_blocked(col_idx, adj_tiles, s1, s2, key, *,
+                          num_iters: Optional[int] = None,
+                          use_katzgraber: bool = True,
+                          katzgraber_threshold: Optional[int] = None):
+    """Houdayer move over union block-sparse tiles — same move semantics
+    (and, for the same key, the same draw) as houdayer_move_sparse, with
+    the label propagation running on fused tile masked-mins instead of
+    segment_min scatters. The fast path for the batched ICM engines at
+    streamed-kernel scale."""
+    labels = disagreement_labels_blocked(col_idx, adj_tiles, s1, s2,
+                                         num_iters=num_iters)
+    return _houdayer_from_labels(labels, s1, s2, key,
+                                 use_katzgraber=use_katzgraber,
+                                 katzgraber_threshold=katzgraber_threshold)
+
+
 def houdayer_move_device(J, s1, s2, key, *, num_iters: Optional[int] = None,
                          use_katzgraber: bool = True,
                          katzgraber_threshold: Optional[int] = None):

@@ -8,10 +8,16 @@ device Houdayer cluster exchanges with Katzgraber's big-cluster flip, and
 per-sub-replica Metropolis label swaps — runs fully in-jit for ALL
 instances at once (lax.scan over rounds, zero cross-instance traffic).
 
-The Houdayer move uses the exact fixed-point sparse label propagation
-(ops/clusters.houdayer_move_sparse) over per-instance edge lists padded to
-a common length (dummy edges connect padded always-agreeing spins, so they
-can never activate). The move feeds back into the chains (the physically
+The Houdayer move uses the exact fixed-point label propagation — by
+default the blocked union-tile masked-min variant whenever the streamed
+round kernel's tiles are already resident (ops/clusters.
+houdayer_move_blocked; segment_min scatters are the measured TPU
+bottleneck at chimera2048 scale, results/icm_phase_breakdown.json), else
+the edge-list path (houdayer_move_sparse) over per-instance edge lists
+padded to a common length (dummy edges connect padded always-agreeing
+spins, so they can never activate). Both reach the same fixed point, so
+the trajectory is backend-invariant. The move feeds back into the chains
+(the physically
 intended ICM; the reference's record-only quirk, apt_ICM.py:243-246, is a
 faithfulness concern for models/apt_icm.py, not for this solver arm).
 """
@@ -27,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.problem import IsingProblem, block_problem
-from ..ops.clusters import houdayer_move_sparse
+from ..ops.clusters import houdayer_move_blocked, houdayer_move_sparse
 from ..ops.sweeps import run_sweeps
 from .swaps import metropolis_label_swap
 
@@ -45,6 +51,14 @@ class EnsembleICMConfig:
     dtype: str = "float32"
     round_kernel: str = "auto"   # sweep stage via ops/round_pallas (see
                                  # EnsembleNMC): 'auto' | 'on' | 'off'
+    houdayer: str = "auto"       # label-propagation backend for the
+                                 # exchange move: 'auto' (blocked tile
+                                 # masked-min whenever the union tiles are
+                                 # already built for the streamed round
+                                 # kernel, else edge-list segment_min),
+                                 # 'blocked' (force tile path; builds the
+                                 # tiles if needed), 'sparse' (force
+                                 # edge-list path)
     # --- hybrid ICM+NMC arm: disagreement-seeded heated phases ---------
     # hybrid_cold > 0 turns the sweep stage of the hybrid_cold COLDEST
     # temperatures' paired chains into NMC-style cycles (heat cluster at
@@ -192,19 +206,29 @@ class EnsembleICM:
                                        12 * 2 ** 20))
         dense_fit = basic and (round_kernel_vmem_bytes(self.n_pad, Rk)
                                <= vmem_cap)
+        if cfg.houdayer not in ("auto", "blocked", "sparse"):
+            raise ValueError(f"houdayer must be auto|blocked|sparse, "
+                             f"got {cfg.houdayer!r}")
         self._stream_tiles = None
-        if basic and not dense_fit and cfg.round_kernel != "off":
+        self._houd_tiles = None   # (col_idx, J_tiles) for the blocked
+        #                           Houdayer label propagation (no VMEM /
+        #                           K gates: it runs on the XLA path)
+        if ((basic and not dense_fit and cfg.round_kernel != "off")
+                or cfg.houdayer == "blocked"):
             # skip the O(I*nB*K*B^2) union-tile build entirely when the
-            # kernel is disabled (mirrors EnsembleNMC)
+            # kernel is disabled (mirrors EnsembleNMC) — unless the
+            # blocked Houdayer is explicitly requested
             col_idx, J_tiles = _union_tiles(blocked)
             K, nBk = col_idx.shape[1], blocked[0].num_blocks
-            if (K <= max(nBk - 1, 1)
+            tiles = (jnp.asarray(col_idx),
+                     jax.device_put(jnp.asarray(J_tiles), inst))
+            if (basic and K <= max(nBk - 1, 1)
                     and streamed_round_vmem_bytes(
                         self.n_pad, Rk, K,
                         blocked[0].block_size) <= vmem_cap):
-                self._stream_tiles = (
-                    jnp.asarray(col_idx),
-                    jax.device_put(jnp.asarray(J_tiles), inst))
+                self._stream_tiles = tiles
+            if cfg.houdayer != "sparse":
+                self._houd_tiles = tiles
         backend = jax.default_backend()
         self._round_interpret = backend == "cpu"
         if cfg.round_kernel not in ("auto", "on", "off"):
@@ -332,12 +356,33 @@ class EnsembleICM:
                 mb, eb = track(res, mb, eb)
             return flat.reshape(S, R, n_pad), mb, eb
 
-        def one_instance(J_rows, J_diag, h, src, dst,
+        houd_tiles = self._houd_tiles
+        houd_col_idx = None if houd_tiles is None else houd_tiles[0]
+
+        def one_instance(J_rows, J_diag, h, src, dst, houd_J,
                          m, b2s, s2b, mb, eb, moves, flips,
                          key, round_index):
             J_full = J_rows.reshape(n_pad, n_pad)
             k = jax.random.fold_in(key, round_index)
             _, k_pair, k_icm, k_swap = jax.random.split(k, 4)
+
+            if houd_tiles is None:
+                def houd(a, b, kk):
+                    return houdayer_move_sparse(
+                        src, dst, a, b, kk,
+                        use_katzgraber=cfg.use_katzgraber)
+            else:
+                # blocked-tile label propagation: fused masked-min over
+                # the union tiles instead of per-edge segment_min
+                # scatters (the measured TPU bottleneck at n_pad >= 2048,
+                # results/icm_phase_breakdown.json); identical labels
+                # and — same key — identical move to the sparse path
+                adj = houd_J != 0                     # [nB, K, B, B]
+
+                def houd(a, b, kk):
+                    return houdayer_move_blocked(
+                        houd_col_idx, adj, a, b, kk,
+                        use_katzgraber=cfg.use_katzgraber)
 
             # --- Houdayer: random same-TEMPERATURE sub-replica pairing ---
             # temperature t's chain in sub s is slot b2s[s, t]
@@ -350,10 +395,8 @@ class EnsembleICM:
             s1 = m[sj[:, None], slot_j]                     # [P, R, n_pad]
             s2 = m[sk[:, None], slot_k]
             keys = jax.random.split(k_icm, Pn * R).reshape(Pn, R, 2)
-            s1n, s2n, moved, flipped = jax.vmap(jax.vmap(
-                lambda a, b, kk: houdayer_move_sparse(
-                    src, dst, a, b, kk,
-                    use_katzgraber=cfg.use_katzgraber)))(s1, s2, keys)
+            s1n, s2n, moved, flipped = jax.vmap(jax.vmap(houd))(
+                s1, s2, keys)
             m = m.at[sj[:, None], slot_j].set(s1n)
             m = m.at[sk[:, None], slot_k].set(s2n)
             # the Katzgraber big-cluster branch flips the WHOLE state
@@ -503,10 +546,13 @@ class EnsembleICM:
                 )(J_rows, J_diag, h, state.m, state.slot_to_beta,
                   state.m_best, state.e_best, state.cl, state.dn,
                   keys, state.round_index)
+            houd_J = (jnp.zeros((self.I, 1, 1, 1, 1), dtype)
+                      if self._houd_tiles is None
+                      else self._houd_tiles[1])     # [I, nB, K, B, B]
             m, b2s, s2b, mb, eb, moves, flips, cl, dn = jax.vmap(
                 one_instance,
-                in_axes=(0,) * 5 + (0, 0, 0, 0, 0, 0, 0, 0, None)
-            )(J_rows, J_diag, h, src, dst, m,
+                in_axes=(0,) * 6 + (0, 0, 0, 0, 0, 0, 0, 0, None)
+            )(J_rows, J_diag, h, src, dst, houd_J, m,
               state.beta_to_slot, state.slot_to_beta,
               mb, eb, state.icm_moves, state.icm_flips,
               keys, state.round_index)

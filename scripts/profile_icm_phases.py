@@ -101,6 +101,29 @@ def main():
     # one houdayer exchange per round in the campaign config
     out["houdayer_s_per_round"] = t_houd
 
+    # --- blocked-tile houdayer (the 'auto' fast path when the streamed
+    # round kernel's union tiles are resident) ------------------------
+    if ens._houd_tiles is not None:
+        from nmc_tpu.ops.clusters import houdayer_move_blocked
+        col_idx, J_tiles = ens._houd_tiles       # [nB,K], [I,nB,K,B,B]
+
+        @jax.jit
+        def houd_blk(m, k):
+            def one(Jt_i, m_i, kk):
+                adj = Jt_i != 0
+                keys = jax.random.split(kk, R)
+                return jax.vmap(lambda a, b, q: houdayer_move_blocked(
+                    col_idx, adj, a, b, q))(m_i[0], m_i[1], keys)[0]
+            keys = jax.random.split(k, I)
+            return jax.vmap(one)(J_tiles, m, keys)
+        t_blk = timeit(lambda: houd_blk(m, k))
+        out["houdayer_blocked_s_per_round"] = t_blk
+        out["houdayer_blocked_speedup"] = t_houd / t_blk
+        # parity: identical moves for identical keys
+        a = jax.device_get(houd(m, k))
+        b = jax.device_get(houd_blk(m, k))
+        out["houdayer_blocked_parity"] = bool(np.array_equal(a, b))
+
     # --- sweep stage alone: round kernel off vs on comparison ---------
     # (reuses round2048_profile.json numbers when present)
     try:

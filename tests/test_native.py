@@ -120,3 +120,35 @@ class TestDeviceLabels:
             g.src, g.dst, jnp.asarray(s1, jnp.float32),
             jnp.asarray(s2, jnp.float32), num_nodes=prob.n))
         np.testing.assert_array_equal(dense, sparse)
+
+    def test_blocked_labels_match_sparse(self):
+        """The union-tile masked-min propagation (the EnsembleICM fast
+        Houdayer path at streamed-kernel scale) reaches the same exact
+        component-min labels as the edge-list segment_min path, in the
+        blocked/padded index space — chimera-512 scale."""
+        import jax.numpy as jnp
+        from nmc_tpu.core.problem import block_problem, block_sparse_tiles
+        from nmc_tpu.ops.clusters import (disagreement_labels_blocked,
+                                          disagreement_labels_sparse)
+        from nmc_tpu.ops.lbp_sparse import EdgeGraph
+        prob = self._chimera_like(2)
+        blocked = block_problem(prob, block_size=128)
+        n_pad = blocked.n_pad
+        Jb = blocked.J_rows.reshape(n_pad, n_pad)
+        col_idx, J_tiles = block_sparse_tiles(blocked)
+        rng = np.random.default_rng(7)
+        s1 = rng.choice([-1.0, 1.0], n_pad)
+        s2 = s1.copy()
+        flip = rng.random(n_pad) < 0.45
+        s2[flip] = -s2[flip]
+        # padded spins agree (the engines keep them pinned to +1)
+        s1[~blocked.active] = 1.0
+        s2[~blocked.active] = 1.0
+        g = EdgeGraph.from_dense(Jb)
+        sparse = np.asarray(disagreement_labels_sparse(
+            g.src, g.dst, jnp.asarray(s1, jnp.float32),
+            jnp.asarray(s2, jnp.float32), num_nodes=n_pad))
+        blk = np.asarray(disagreement_labels_blocked(
+            jnp.asarray(col_idx), jnp.asarray(J_tiles != 0),
+            jnp.asarray(s1, jnp.float32), jnp.asarray(s2, jnp.float32)))
+        np.testing.assert_array_equal(blk, sparse)
