@@ -9,11 +9,12 @@ per-sub-replica Metropolis label swaps — runs fully in-jit for ALL
 instances at once (lax.scan over rounds, zero cross-instance traffic).
 
 The Houdayer move uses the exact fixed-point label propagation — by
-default the blocked union-tile masked-min variant whenever the streamed
-round kernel's tiles are already resident (ops/clusters.
-houdayer_move_blocked; segment_min scatters are the measured TPU
-bottleneck at chimera2048 scale, results/icm_phase_breakdown.json), else
-the edge-list path (houdayer_move_sparse) over per-instance edge lists
+default the edge-list segment_min path (houdayer_move_sparse); the
+blocked union-tile masked-min variant (ops/clusters.
+houdayer_move_blocked) is an explicit opt-in (houdayer="blocked"), as
+the TPU profile at chimera2048 scale puts it at 0.95x the sparse path
+(results/icm_phase_breakdown_blocked.json). The sparse path runs over
+per-instance edge lists
 padded to a common length (dummy edges connect padded always-agreeing
 spins, so they can never activate). Both reach the same fixed point, so
 the trajectory is backend-invariant. The move feeds back into the chains
@@ -227,7 +228,11 @@ class EnsembleICM:
                         self.n_pad, Rk, K,
                         blocked[0].block_size) <= vmem_cap):
                 self._stream_tiles = tiles
-            if cfg.houdayer != "sparse":
+            if cfg.houdayer == "blocked":
+                # explicit opt-in only: the TPU profile at chimera2048
+                # scale (results/icm_phase_breakdown_blocked.json) puts
+                # the fused tile masked-min at 0.95x the segment_min
+                # path, so "auto" keeps the measured-faster sparse path
                 self._houd_tiles = tiles
         backend = jax.default_backend()
         self._round_interpret = backend == "cpu"
