@@ -23,8 +23,10 @@ from .ops.engine import SweepEngine
 from .ops.lbp import (atanh_saturated, convexification_epsilon,
                       lbp_convexified, lbp_convexified_batch,
                       loopy_belief_propagation)
-from .ops.clusters import (cluster_mask, disagreement_clusters, find_clusters,
-                           flatten_clusters, houdayer_move_device,
+from .ops.clusters import (NeighborPlanes, build_neighbor_planes,
+                           cluster_mask, disagreement_clusters,
+                           find_clusters, flatten_clusters,
+                           houdayer_move_device, houdayer_move_matmul,
                            houdayer_move_sparse)
 from .ops.lbp_sparse import EdgeGraph, sparse_lbp, sparse_lbp_convexified
 
@@ -43,6 +45,7 @@ __all__ = [
     "EdgeGraph", "sparse_lbp", "sparse_lbp_convexified",
     "find_clusters", "flatten_clusters", "cluster_mask",
     "disagreement_clusters", "houdayer_move_device",
-    "houdayer_move_sparse",
+    "houdayer_move_sparse", "houdayer_move_matmul",
+    "NeighborPlanes", "build_neighbor_planes",
     "greedy_coloring", "color_groups", "num_colors",
 ]

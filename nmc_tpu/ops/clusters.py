@@ -193,8 +193,9 @@ def disagreement_clusters_adj(adj, s1, s2) -> List[np.ndarray]:
     return [diff[labels == c] for c in range(ncomp)]
 
 
-def _label_fixpoint(propagate, labels0, diff, n, max_iters):
-    """Run min-label propagation + pointer jumping to a FIXED POINT.
+def _label_fixpoint(propagate, labels0, diff, n, max_iters, jump=True):
+    """Run min-label propagation (+ optional pointer jumping) to a FIXED
+    POINT.
 
     `propagate(labels) -> nbr_min` returns each node's minimum neighbor
     label over the active subgraph. Pointer jumping (labels[labels])
@@ -202,18 +203,22 @@ def _label_fixpoint(propagate, labels0, diff, n, max_iters):
     O(log diameter) rounds; the while_loop exits at the first unchanged
     round, making the result exact connected-component minima regardless
     of graph shape (fixes the silent truncation of the old fixed-64-iter
-    scheme)."""
+    scheme). `jump=False` skips the jumping gather — iterations then grow
+    to the component eccentricity, which pays off when propagate is much
+    cheaper than a data-dependent [n] gather (the TPU matmul path: the
+    jump gather measured 1.3 ms vs 0.05 ms/step of propagation)."""
     big = jnp.int32(n)
 
     def step(state):
         labels, _, it = state
         nbr_min = propagate(labels)
         new = jnp.where(diff, jnp.minimum(labels, nbr_min), big)
-        # pointer jumping: follow the label's own label (component minima
-        # only ever decrease, so this preserves exactness)
-        safe = jnp.minimum(new, jnp.int32(n - 1))
-        jumped = jnp.where(new < big, new[safe], big)
-        new = jnp.minimum(new, jumped)
+        if jump:
+            # pointer jumping: follow the label's own label (component
+            # minima only ever decrease, so this preserves exactness)
+            safe = jnp.minimum(new, jnp.int32(n - 1))
+            jumped = jnp.where(new < big, new[safe], big)
+            new = jnp.minimum(new, jumped)
         changed = jnp.any(new != labels)
         return new, changed, it + 1
 
@@ -328,6 +333,161 @@ def houdayer_move_blocked(col_idx, adj_tiles, s1, s2, key, *,
     streamed-kernel scale."""
     labels = disagreement_labels_blocked(col_idx, adj_tiles, s1, s2,
                                          num_iters=num_iters)
+    return _houdayer_from_labels(labels, s1, s2, key,
+                                 use_katzgraber=use_katzgraber,
+                                 katzgraber_threshold=katzgraber_threshold)
+
+
+class NeighborPlanes:
+    """Host-precomputed one-hot operands for disagreement_labels_matmul.
+
+    Encodes the (static) adjacency of one blocked instance as matmul
+    operands so min-label propagation runs entirely on the MXU — no
+    segment_min scatter, no data-dependent gather (both measured at
+    ~1.3-2.8 ms/step on TPU at chimera2048 scale vs ~0.05 ms for the
+    matmul step; see results/houdayer_variants.json and the real-state
+    follow-up in docs/BENCHMARKS.md).
+
+      gather [nB, K, nB]     one-hot over block ids: gather @ labels2d
+                             pulls each row-block's K neighbor column
+                             blocks ("lab_c"), exactly like
+                             labels.reshape(nB, B)[col_idx] but as a
+                             tiny matmul.
+      planes [nB, D, B, K*B+1]  one-hot rows: plane d of row r in block
+                             i points at the flattened lab_c position of
+                             r's d-th neighbor, or at the trailing
+                             sentinel column (value `big`) for d beyond
+                             the row's degree.
+
+    Exactness: the TPU MXU computes float32 matmuls as bfloat16 passes
+    at default precision, which would corrupt label values > 256 — so
+    the propagate step routes labels through an EXACT hi/lo byte split
+    (labels = hi*256 + lo, both in [0, 256], exact in bfloat16; each
+    one-hot row selects exactly one term, so the f32 accumulation is
+    exact, and the recombined value <= n_pad is exact in f32). Verified
+    bit-equal to the sparse path on real chimera2048 states on TPU
+    (scripts/profile_houdayer_variants.py follow-up). Supports
+    n_pad <= 65536.
+    """
+
+    def __init__(self, gather, planes, n_pad, block_size):
+        self.gather = gather
+        self.planes = planes
+        self.n_pad = int(n_pad)
+        self.block_size = int(block_size)
+
+    @property
+    def degree(self) -> int:
+        return self.planes.shape[1]
+
+
+def build_neighbor_planes(col_idx: np.ndarray, J_tiles: np.ndarray,
+                          *, max_degree: Optional[int] = None,
+                          degree: Optional[int] = None) -> NeighborPlanes:
+    """Build NeighborPlanes from one instance's block-sparse tiles
+    (core.problem.block_sparse_tiles / parallel.ensemble_nmc._union_tiles
+    layout: col_idx [nB, K] int32, J_tiles [nB, K, B, B]).
+
+    `max_degree` (default 16) bounds the one-hot plane count; a denser
+    instance raises ValueError — callers fall back to the sparse path.
+    `degree` forces the plane count (for stacking instances of different
+    max degree in one batched engine).
+    """
+    col_idx = np.asarray(col_idx)
+    J_tiles = np.asarray(J_tiles)
+    nB, K, B, _ = J_tiles.shape
+    n_pad = nB * B
+    adj = J_tiles != 0                                   # [nB, K, B, B]
+    deg = adj.sum(axis=(1, 3))                           # [nB, B]
+    D = int(deg.max()) if deg.size else 0
+    cap = 16 if max_degree is None else int(max_degree)
+    if D > cap:
+        raise ValueError(
+            f"max node degree {D} exceeds the neighbor-plane cap {cap}; "
+            f"use the sparse Houdayer path for dense instances")
+    if degree is not None:
+        if degree < D:
+            raise ValueError(f"degree={degree} < instance max degree {D}")
+        D = int(degree)
+    D = max(D, 1)
+
+    gather = np.zeros((nB, K, nB), np.float32)
+    gather[np.arange(nB)[:, None], np.arange(K)[None, :], col_idx] = 1.0
+
+    planes = np.zeros((nB, D, B, K * B + 1), np.float32)
+    planes[:, :, :, K * B] = 1.0          # default: sentinel (big) column
+    for i in range(nB):
+        for r in range(B):
+            ks, cs = np.nonzero(adj[i, :, r, :])
+            for d, (k, c) in enumerate(zip(ks, cs)):
+                planes[i, d, r, K * B] = 0.0
+                planes[i, d, r, k * B + c] = 1.0
+    return NeighborPlanes(gather.astype(np.float32),
+                          planes.astype(jnp.bfloat16), n_pad, B)
+
+
+def disagreement_labels_matmul(
+    planes: NeighborPlanes, s1: jax.Array, s2: jax.Array,
+    *, num_iters: Optional[int] = None,
+) -> jax.Array:
+    """Min-label propagation with every step expressed as two one-hot
+    matmuls (gather of neighbor column blocks, then per-row neighbor
+    selection) plus a D-way min — the MXU-native variant of
+    disagreement_labels_sparse. Exact: identical fixed point (component-
+    min labels), so _houdayer_from_labels draws the same move for the
+    same key. Runs without pointer jumping — iterations are bounded by
+    the component eccentricity, but each is ~50x cheaper than a
+    segment_min/gather step on TPU (measured at chimera2048)."""
+    n = planes.n_pad
+    B = planes.block_size
+    nB = n // B
+    K = (planes.planes.shape[3] - 1) // B
+    if n > 65536:
+        raise ValueError(f"hi/lo byte split supports n_pad <= 65536, "
+                         f"got {n}")
+    diff = (s1 * s2) < 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    labels0 = jnp.where(diff, idx, jnp.int32(n))
+    G = jnp.asarray(planes.gather)
+    P = jnp.asarray(planes.planes)
+    big_hi = jnp.float32(n // 256)
+    big_lo = jnp.float32(n % 256)
+
+    def propagate(labels):
+        lab2 = labels.reshape(nB, B)
+        # exact hi/lo byte split: values in [0, 256], exact in bf16 on
+        # the MXU's default-precision f32 path (see class docstring)
+        hi = (lab2 // 256).astype(jnp.float32)
+        lo = (lab2 % 256).astype(jnp.float32)
+        ch = jnp.einsum("ikb,bc->ikc", G, hi)
+        cl = jnp.einsum("ikb,bc->ikc", G, lo)
+        eh = jnp.concatenate(
+            [ch.reshape(nB, K * B), jnp.full((nB, 1), big_hi)], axis=1)
+        el = jnp.concatenate(
+            [cl.reshape(nB, K * B), jnp.full((nB, 1), big_lo)], axis=1)
+        nh = jnp.einsum("idrq,iq->idr", P, eh,
+                        preferred_element_type=jnp.float32)
+        nl = jnp.einsum("idrq,iq->idr", P, el,
+                        preferred_element_type=jnp.float32)
+        nbr = nh * jnp.float32(256.0) + nl
+        return jnp.min(nbr, axis=1).reshape(n).astype(jnp.int32)
+
+    return _label_fixpoint(propagate, labels0, diff, n,
+                           n if num_iters is None else num_iters,
+                           jump=False)
+
+
+def houdayer_move_matmul(planes, s1, s2, key, *,
+                         num_iters: Optional[int] = None,
+                         use_katzgraber: bool = True,
+                         katzgraber_threshold: Optional[int] = None):
+    """Houdayer move with the MXU matmul label propagation — same move
+    semantics (and, for the same key, the same draw) as
+    houdayer_move_sparse. The fast path for the batched ICM engines on
+    bounded-degree topologies (chimera/DCL); dense instances (wishart)
+    stay on the sparse path via the build_neighbor_planes degree cap."""
+    labels = disagreement_labels_matmul(planes, s1, s2,
+                                        num_iters=num_iters)
     return _houdayer_from_labels(labels, s1, s2, key,
                                  use_katzgraber=use_katzgraber,
                                  katzgraber_threshold=katzgraber_threshold)

@@ -53,13 +53,17 @@ class EnsembleICMConfig:
     round_kernel: str = "auto"   # sweep stage via ops/round_pallas (see
                                  # EnsembleNMC): 'auto' | 'on' | 'off'
     houdayer: str = "auto"       # label-propagation backend for the
-                                 # exchange move: 'auto' (blocked tile
-                                 # masked-min whenever the union tiles are
-                                 # already built for the streamed round
-                                 # kernel, else edge-list segment_min),
-                                 # 'blocked' (force tile path; builds the
-                                 # tiles if needed), 'sparse' (force
-                                 # edge-list path)
+                                 # exchange move: 'auto' (the MXU matmul
+                                 # path via one-hot neighbor planes when
+                                 # the family's max degree allows it —
+                                 # measured 2.3x the segment_min path on
+                                 # real chimera2048 states — else edge-
+                                 # list segment_min), 'matmul' (force;
+                                 # raises if the degree cap fails),
+                                 # 'blocked' (tile masked-min), 'sparse'
+                                 # (edge-list segment_min). All four are
+                                 # exact fixed points: same key -> same
+                                 # move, trajectory-invariant.
     # --- hybrid ICM+NMC arm: disagreement-seeded heated phases ---------
     # hybrid_cold > 0 turns the sweep stage of the hybrid_cold COLDEST
     # temperatures' paired chains into NMC-style cycles (heat cluster at
@@ -207,18 +211,36 @@ class EnsembleICM:
                                        12 * 2 ** 20))
         dense_fit = basic and (round_kernel_vmem_bytes(self.n_pad, Rk)
                                <= vmem_cap)
-        if cfg.houdayer not in ("auto", "blocked", "sparse"):
-            raise ValueError(f"houdayer must be auto|blocked|sparse, "
-                             f"got {cfg.houdayer!r}")
+        if cfg.houdayer not in ("auto", "matmul", "blocked", "sparse"):
+            raise ValueError(f"houdayer must be auto|matmul|blocked|"
+                             f"sparse, got {cfg.houdayer!r}")
+        # max node degree across instances (from the real, pre-padding
+        # edge lists): gates the matmul neighbor-plane path
+        deg_max = 0
+        for d_ in dsts:
+            if d_.shape[0]:
+                deg_max = max(deg_max, int(np.bincount(
+                    d_, minlength=self.n_pad).max()))
+        matmul_ok = 0 < deg_max <= 16 and self.n_pad <= 65536
+        if cfg.houdayer == "matmul" and not matmul_ok:
+            raise ValueError(
+                f"houdayer='matmul' needs max node degree <= 16 and "
+                f"n_pad <= 65536 (got degree {deg_max}, n_pad "
+                f"{self.n_pad}); use 'sparse' for dense instances")
+        want_planes = (cfg.houdayer == "matmul"
+                       or (cfg.houdayer == "auto" and matmul_ok))
         self._stream_tiles = None
         self._houd_tiles = None   # (col_idx, J_tiles) for the blocked
         #                           Houdayer label propagation (no VMEM /
         #                           K gates: it runs on the XLA path)
+        self._houd_planes = None  # (gather [nB,K,nB] f32 shared,
+        #                           planes [I,nB,D,B,K*B+1] bf16) for the
+        #                           MXU matmul label propagation
         if ((basic and not dense_fit and cfg.round_kernel != "off")
-                or cfg.houdayer == "blocked"):
+                or cfg.houdayer == "blocked" or want_planes):
             # skip the O(I*nB*K*B^2) union-tile build entirely when the
             # kernel is disabled (mirrors EnsembleNMC) — unless the
-            # blocked Houdayer is explicitly requested
+            # blocked/matmul Houdayer needs it
             col_idx, J_tiles = _union_tiles(blocked)
             K, nBk = col_idx.shape[1], blocked[0].num_blocks
             tiles = (jnp.asarray(col_idx),
@@ -232,8 +254,18 @@ class EnsembleICM:
                 # explicit opt-in only: the TPU profile at chimera2048
                 # scale (results/icm_phase_breakdown_blocked.json) puts
                 # the fused tile masked-min at 0.95x the segment_min
-                # path, so "auto" keeps the measured-faster sparse path
+                # path; 'auto' prefers the matmul planes
                 self._houd_tiles = tiles
+            if want_planes:
+                from ..ops.clusters import build_neighbor_planes
+                pls = [build_neighbor_planes(col_idx, J_tiles[i],
+                                             degree=deg_max)
+                       for i in range(self.I)]
+                self._houd_planes = (
+                    jnp.asarray(pls[0].gather),
+                    jax.device_put(jnp.asarray(
+                        np.stack([np.asarray(p.planes) for p in pls])),
+                        inst))
         backend = jax.default_backend()
         self._round_interpret = backend == "cpu"
         if cfg.round_kernel not in ("auto", "on", "off"):
@@ -363,15 +395,32 @@ class EnsembleICM:
 
         houd_tiles = self._houd_tiles
         houd_col_idx = None if houd_tiles is None else houd_tiles[0]
+        houd_planes = self._houd_planes
+        houd_gather = None if houd_planes is None else houd_planes[0]
 
-        def one_instance(J_rows, J_diag, h, src, dst, houd_J,
+        def one_instance(J_rows, J_diag, h, src, dst, houd_J, houd_P,
                          m, b2s, s2b, mb, eb, moves, flips,
                          key, round_index):
             J_full = J_rows.reshape(n_pad, n_pad)
             k = jax.random.fold_in(key, round_index)
             _, k_pair, k_icm, k_swap = jax.random.split(k, 4)
 
-            if houd_tiles is None:
+            if houd_planes is not None:
+                # MXU matmul label propagation over one-hot neighbor
+                # planes — no segment_min scatter, no data-dependent
+                # gather (2.3x the sparse path on real chimera2048
+                # states); identical labels and — same key — identical
+                # move to the sparse path (ops/clusters.NeighborPlanes)
+                from ..ops.clusters import (NeighborPlanes,
+                                            houdayer_move_matmul)
+                pl = NeighborPlanes(houd_gather, houd_P, n_pad,
+                                    cfg.block_size)
+
+                def houd(a, b, kk):
+                    return houdayer_move_matmul(
+                        pl, a, b, kk,
+                        use_katzgraber=cfg.use_katzgraber)
+            elif houd_tiles is None:
                 def houd(a, b, kk):
                     return houdayer_move_sparse(
                         src, dst, a, b, kk,
@@ -554,10 +603,13 @@ class EnsembleICM:
             houd_J = (jnp.zeros((self.I, 1, 1, 1, 1), dtype)
                       if self._houd_tiles is None
                       else self._houd_tiles[1])     # [I, nB, K, B, B]
+            houd_P = (jnp.zeros((self.I, 1, 1, 1, 1), jnp.bfloat16)
+                      if self._houd_planes is None
+                      else self._houd_planes[1])    # [I, nB, D, B, KB+1]
             m, b2s, s2b, mb, eb, moves, flips, cl, dn = jax.vmap(
                 one_instance,
-                in_axes=(0,) * 6 + (0, 0, 0, 0, 0, 0, 0, 0, None)
-            )(J_rows, J_diag, h, src, dst, houd_J, m,
+                in_axes=(0,) * 7 + (0, 0, 0, 0, 0, 0, 0, 0, None)
+            )(J_rows, J_diag, h, src, dst, houd_J, houd_P, m,
               state.beta_to_slot, state.slot_to_beta,
               mb, eb, state.icm_moves, state.icm_flips,
               keys, state.round_index)

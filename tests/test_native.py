@@ -152,3 +152,51 @@ class TestDeviceLabels:
             jnp.asarray(col_idx), jnp.asarray(J_tiles != 0),
             jnp.asarray(s1, jnp.float32), jnp.asarray(s2, jnp.float32)))
         np.testing.assert_array_equal(blk, sparse)
+
+    def test_matmul_labels_match_sparse(self):
+        """The one-hot neighbor-plane matmul propagation (the EnsembleICM
+        default Houdayer path on bounded-degree topologies) reaches the
+        same exact component-min labels as the edge-list segment_min
+        path, including the hi/lo byte split that keeps label values
+        exact through the TPU MXU's bf16 default-precision passes."""
+        import jax.numpy as jnp
+        from nmc_tpu.core.problem import block_problem, block_sparse_tiles
+        from nmc_tpu.ops.clusters import (build_neighbor_planes,
+                                          disagreement_labels_matmul,
+                                          disagreement_labels_sparse)
+        from nmc_tpu.ops.lbp_sparse import EdgeGraph
+        prob = self._chimera_like(2)
+        blocked = block_problem(prob, block_size=128)
+        n_pad = blocked.n_pad
+        Jb = blocked.J_rows.reshape(n_pad, n_pad)
+        col_idx, J_tiles = block_sparse_tiles(blocked)
+        planes = build_neighbor_planes(col_idx, J_tiles)
+        g = EdgeGraph.from_dense(Jb)
+        rng = np.random.default_rng(11)
+        for dens in (0.1, 0.45, 0.9):
+            s1 = rng.choice([-1.0, 1.0], n_pad)
+            s2 = s1.copy()
+            flip = rng.random(n_pad) < dens
+            s2[flip] = -s2[flip]
+            s1[~blocked.active] = 1.0
+            s2[~blocked.active] = 1.0
+            sparse = np.asarray(disagreement_labels_sparse(
+                g.src, g.dst, jnp.asarray(s1, jnp.float32),
+                jnp.asarray(s2, jnp.float32), num_nodes=n_pad))
+            mm = np.asarray(disagreement_labels_matmul(
+                planes, jnp.asarray(s1, jnp.float32),
+                jnp.asarray(s2, jnp.float32)))
+            np.testing.assert_array_equal(mm, sparse)
+
+    def test_neighbor_planes_degree_cap(self):
+        import pytest
+        from nmc_tpu.core.problem import block_problem, block_sparse_tiles
+        from nmc_tpu.io.generators import random_sk
+        from nmc_tpu.ops.clusters import build_neighbor_planes
+        prob = random_sk(24, seed=1)          # complete graph, degree 23
+        blocked = block_problem(prob, block_size=8)
+        col_idx, J_tiles = block_sparse_tiles(blocked)
+        with pytest.raises(ValueError, match="degree"):
+            build_neighbor_planes(col_idx, J_tiles)
+        planes = build_neighbor_planes(col_idx, J_tiles, max_degree=32)
+        assert planes.degree == 23

@@ -331,32 +331,56 @@ class TestEnsembleICM:
         assert int(np.asarray(state.icm_moves).sum()) > 0
 
     def test_blocked_houdayer_trajectory_parity(self):
-        """houdayer='blocked' (union-tile masked-min labels) must produce
-        the EXACT same trajectory as houdayer='sparse' at the same seed —
-        identical fixed-point labels imply identical cluster draws."""
+        """houdayer='blocked'/'matmul' must produce the EXACT same
+        trajectory as houdayer='sparse' at the same seed — identical
+        fixed-point labels imply identical cluster draws."""
         from nmc_tpu.io.generators import ea_2d
         from nmc_tpu.parallel import EnsembleICM, EnsembleICMConfig
         probs = [ea_2d(5, seed=s) for s in range(2)]
         beta = np.geomspace(0.3, 2.5, 6)
         states = {}
-        for mode in ("sparse", "blocked"):
+        for mode in ("sparse", "blocked", "matmul", "auto"):
             cfg = EnsembleICMConfig(sweeps_per_round=6, num_subreplicas=4,
                                     num_swapping_pairs=1, block_size=8,
                                     houdayer=mode)
             ens = EnsembleICM(probs, beta, cfg)
             if mode == "blocked":
                 assert ens._houd_tiles is not None
+            if mode in ("matmul", "auto"):
+                # ea_2d degree 4 <= 16: auto must pick the matmul planes
+                assert ens._houd_planes is not None
             st = ens.init_state(jax.random.PRNGKey(3))
             states[mode] = ens.run_scanned(st, 8)
-        a, b = states["sparse"], states["blocked"]
-        np.testing.assert_array_equal(np.asarray(a.m), np.asarray(b.m))
-        np.testing.assert_array_equal(np.asarray(a.beta_to_slot),
-                                      np.asarray(b.beta_to_slot))
-        np.testing.assert_array_equal(np.asarray(a.e_best),
-                                      np.asarray(b.e_best))
-        np.testing.assert_array_equal(np.asarray(a.icm_moves),
-                                      np.asarray(b.icm_moves))
+        a = states["sparse"]
+        for mode in ("blocked", "matmul", "auto"):
+            b = states[mode]
+            np.testing.assert_array_equal(np.asarray(a.m), np.asarray(b.m))
+            np.testing.assert_array_equal(np.asarray(a.beta_to_slot),
+                                          np.asarray(b.beta_to_slot))
+            np.testing.assert_array_equal(np.asarray(a.e_best),
+                                          np.asarray(b.e_best))
+            np.testing.assert_array_equal(np.asarray(a.icm_moves),
+                                          np.asarray(b.icm_moves))
         assert int(np.asarray(a.icm_moves).sum()) > 0
+
+    def test_matmul_houdayer_degree_cap(self):
+        """houdayer='matmul' on a dense (complete-graph) instance must
+        raise (degree cap), and 'auto' must fall back to sparse."""
+        import pytest
+        from nmc_tpu.io.generators import random_sk
+        from nmc_tpu.parallel import EnsembleICM, EnsembleICMConfig
+        probs = [random_sk(24, seed=0)]
+        beta = np.geomspace(0.3, 2.0, 4)
+        with pytest.raises(ValueError, match="degree"):
+            EnsembleICM(probs, beta,
+                        EnsembleICMConfig(sweeps_per_round=4,
+                                          num_subreplicas=2, block_size=8,
+                                          houdayer="matmul"))
+        ens = EnsembleICM(probs, beta,
+                          EnsembleICMConfig(sweeps_per_round=4,
+                                            num_subreplicas=2, block_size=8,
+                                            houdayer="auto"))
+        assert ens._houd_planes is None   # fell back to sparse
 
     def test_icm_label_permutations_valid(self):
         from nmc_tpu.io.generators import ea_2d
