@@ -124,6 +124,28 @@ def main():
         b = jax.device_get(houd_blk(m, k))
         out["houdayer_blocked_parity"] = bool(np.array_equal(a, b))
 
+    # --- matmul houdayer (one-hot neighbor planes, the 'auto' default
+    # on bounded-degree families since round 3) ------------------------
+    if ens._houd_planes is not None:
+        from nmc_tpu.ops.clusters import NeighborPlanes, houdayer_move_matmul
+        G, Pstack = ens._houd_planes
+
+        @jax.jit
+        def houd_mm(m, k):
+            def one(P_i, m_i, kk):
+                pl = NeighborPlanes(G, P_i, m.shape[-1], 128)
+                keys = jax.random.split(kk, R)
+                return jax.vmap(lambda a, b, q: houdayer_move_matmul(
+                    pl, a, b, q))(m_i[0], m_i[1], keys)[0]
+            keys = jax.random.split(k, I)
+            return jax.vmap(one)(Pstack, m, keys)
+        t_mm = timeit(lambda: houd_mm(m, k))
+        out["houdayer_matmul_s_per_round"] = t_mm
+        out["houdayer_matmul_speedup"] = t_houd / t_mm
+        a = jax.device_get(houd(m, k))
+        b = jax.device_get(houd_mm(m, k))
+        out["houdayer_matmul_parity"] = bool(np.array_equal(a, b))
+
     # --- sweep stage alone: round kernel off vs on comparison ---------
     # (reuses round2048_profile.json numbers when present)
     try:

@@ -1,10 +1,16 @@
 #!/bin/bash
-# Micro-profile of Houdayer label-propagation variants (the measured
-# ICM bottleneck: cluster move > full 96-sweep round at 2048 scale).
+# Houdayer perf validation on the real chip, post-land:
+#  1. variant micro-profile (sparse/blocked/matmul label propagation)
+#  2. end-to-end EnsembleICM phase breakdown at chimera2048 with the
+#     NEW default (matmul neighbor planes) vs round-2's sparse baseline
+#     (results/icm_phase_breakdown_blocked.json: houdayer 83.6 ms/round)
 set -x
 cd /root/repo
 rem=$(( ${DEADLINE:-9999999999} - $(date +%s) ))
-if [ "$rem" -lt 900 ]; then echo "DEADLINE: skip houdayer variants"; exit 0; fi
+if [ "$rem" -lt 1200 ]; then echo "DEADLINE: skip houdayer profiles"; exit 0; fi
 timeout 780 python scripts/profile_houdayer_variants.py \
-  --out results/houdayer_variants.json || echo "profile failed (continuing)"
-echo "HOUDAYER VARIANTS DONE"
+  --out results/houdayer_variants.json || echo "variants failed (continuing)"
+timeout 900 python scripts/profile_icm_phases.py \
+  --out results/icm_phase_breakdown_matmul.json \
+  || echo "phase breakdown failed (continuing)"
+echo "HOUDAYER PROFILES DONE"
