@@ -6,11 +6,11 @@ set -x
 cd /root/repo
 rem=$(( ${DEADLINE:-9999999999} - $(date +%s) ))
 if [ "$rem" -lt 1800 ]; then echo "DEADLINE: skip chimera1152 seed1"; exit 0; fi
-t=12600; [ "$rem" -lt "$t" ] && t=$((rem - 660))
+t=14400; [ "$rem" -lt "$t" ] && t=$((rem - 660))
 timeout "$t" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
   python -m nmc_tpu campaign --family chimera1152 --instances 20 \
   --replicas 32 --beta-max 32 --chunk-rounds 25 \
   --arm icm --subreplicas 2 --seed 1 --trace \
-  --sweeps 10000000 --out results/campaign/chimera1152_icm_10M_seed1.jsonl \
+  --sweeps 20000000 --out results/campaign/chimera1152_icm_20M_seed1.jsonl \
   || echo "run failed/cut (continuing)"
 echo "CHIMERA1152 ICM SEED1 DONE"
