@@ -179,6 +179,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
             # --nmc-cold coldest rungs' paired chains
             hybrid_cold=args.nmc_cold if args.arm == "hybrid" else 0,
             temp_x=args.temp_x, num_cycles=args.num_cycles,
+            houdayer=args.houdayer,
         )
         ens = EnsembleICM(probs, beta, cfg)
     else:
@@ -445,6 +446,10 @@ def add_campaign_args(p):
     p.add_argument("--threshold-initial", type=float, default=0.999999)
     p.add_argument("--threshold-cutoff", type=float, default=0.99999)
     p.add_argument("--subreplicas", type=int, default=10)
+    p.add_argument("--houdayer", default="auto",
+                   choices=["auto", "matmul", "blocked", "sparse"],
+                   help="ICM label-propagation backend (auto = MXU "
+                        "matmul planes on bounded-degree families)")
     p.add_argument("--device-icm", action="store_true", default=True)
     p.add_argument("--no-device-icm", dest="device_icm", action="store_false")
     p.add_argument("--seed", type=int, default=0)
