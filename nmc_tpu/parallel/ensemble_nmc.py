@@ -140,7 +140,23 @@ class EnsembleNMC:
         # instead of the dense [n_pad, n_pad] message matrices.
         self.edge_graph = None
         self.edge_w = None
-        if self.any_nmc and cfg.lbp_mode != "dense":
+        self.edge_slots = None
+        if self.any_nmc and cfg.lbp_mode == "planes":
+            # opt-in scatter-free slotted-edge LBP (ops/lbp_planes): the
+            # union topology's static gathers become one-hot matmuls at
+            # Precision.HIGHEST; per-instance couplings live in w[n, D]
+            # slots. Raises on dense families (degree cap), mirroring
+            # the engines' no-silent-fallback policy.
+            from ..ops.lbp_planes import (build_edge_slot_planes,
+                                          w_slot_from_tiles)
+            col_idx_u, J_tiles_u = _union_tiles(blocked)
+            esp = build_edge_slot_planes(col_idx_u,
+                                         np.any(J_tiles_u != 0, axis=0))
+            self.edge_slots = esp
+            w = np.stack([w_slot_from_tiles(esp, J_tiles_u[i])
+                          for i in range(self.I)])
+            self.edge_w = jax.device_put(jnp.asarray(w, dtype), inst)
+        elif self.any_nmc and cfg.lbp_mode != "dense":
             from ..ops.lbp_sparse import EdgeGraph
             J_sq = [np.asarray(b.J_rows).reshape(self.n_pad, self.n_pad)
                     for b in blocked]
@@ -266,6 +282,20 @@ class EnsembleNMC:
             tolerance=cfg.lbp_tolerance)
 
     # ------------------------------------------------------------------
+    def _lbp_marginal_planes(self, w_slot, h, epsilon, m_star):
+        """Slotted-edge convexified LBP for one chain of one instance
+        (per-instance slot couplings w_slot [n, D]). Shared body:
+        ops/lbp_planes.convexified_marginal_planes — scatter-free, every
+        static gather a one-hot matmul."""
+        from ..ops.lbp_planes import convexified_marginal_planes
+        cfg = self.cfg
+        return convexified_marginal_planes(
+            self.edge_slots, w_slot, h, epsilon, m_star,
+            beta=cfg.global_beta, ladder=self.ladder,
+            max_iterations=cfg.lbp_max_iterations,
+            tolerance=cfg.lbp_tolerance)
+
+    # ------------------------------------------------------------------
     def _build_round(self):
         cfg = self.cfg
         R, n_pad = self.R, self.n_pad
@@ -281,7 +311,12 @@ class EnsembleNMC:
             k = int(self.doNMC.sum())
             nmc_slots = jnp.argsort(do_nmc)[-k:]          # [k]
             m_nmc = m[nmc_slots]                          # [k, n_pad]
-            if self.edge_graph is not None:
+            if self.edge_slots is not None:
+                marg = jax.vmap(
+                    lambda ms: self._lbp_marginal_planes(w_e, h, epsilon,
+                                                         ms)
+                )(m_nmc)
+            elif self.edge_graph is not None:
                 marg = jax.vmap(
                     lambda ms: self._lbp_marginal_sparse(w_e, h, epsilon,
                                                          ms)

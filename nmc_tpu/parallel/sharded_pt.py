@@ -66,7 +66,11 @@ class ShardedNPTConfig:
                              # LBP per swap round, npt.py:397-414 — short
                              # TTS-granularity rounds can refresh less often)
     lbp_mode: str = "auto"   # 'dense' | 'sparse' | 'auto' (sparse above 1024
-                             # spins: dense [N,N] messages blow memory)
+                             # spins: dense [N,N] messages blow memory) |
+                             # 'planes' (EnsembleNMC only, opt-in:
+                             # scatter-free slotted-edge LBP via one-hot
+                             # matmuls, ops/lbp_planes; raises on dense
+                             # families)
     block_size: int = 128
     within_block: str = "sequential"
     use_coloring: bool = False   # graph-colored blocks -> exact Jacobi updates

@@ -213,6 +213,50 @@ class TestEnsembleNMC:
         for i in range(4):
             assert sorted(b2s[i].tolist()) == list(range(8))
 
+    def test_ensemble_nmc_planes_lbp(self):
+        """lbp_mode='planes' (scatter-free slotted-edge LBP) drives the
+        same engine end-to-end: finite energies, valid permutations, and
+        energies within noise of the sparse path at matched seeds
+        (marginal ulp differences can flip borderline backbone spins, so
+        exact trajectory parity is not required — the marginal math
+        itself is covered by tests/test_lbp_sparse.py::TestLBPPlanes)."""
+        from nmc_tpu.io.generators import ea_2d
+        from nmc_tpu.parallel import EnsembleNMC
+        from nmc_tpu.parallel.sharded_pt import ShardedNPTConfig
+        probs = [ea_2d(6, seed=s).normalized()[0] for s in range(3)]
+        beta = np.geomspace(0.3, 4.0, 8)
+        res = {}
+        for mode in ("sparse", "planes"):
+            cfg = ShardedNPTConfig(sweeps_per_phase=6, num_cycles=1,
+                                   num_swapping_pairs=2, use_coloring=True,
+                                   block_size=16, lbp_mode=mode,
+                                   lbp_max_iterations=10)
+            ens = EnsembleNMC(probs, beta, [False] * 6 + [True] * 2, cfg)
+            if mode == "planes":
+                assert ens.edge_slots is not None
+            state = ens.init_state(jax.random.PRNGKey(0))
+            state = ens.run_scanned(state, 6)
+            eb, mb = ens.best(state)
+            assert np.isfinite(eb).all()
+            for i, p in enumerate(probs):
+                assert abs(float(p.energy(mb[i])) - eb[i]) < 1e-3
+            res[mode] = eb
+        # same seeds, near-identical sampling: best energies land close
+        assert np.allclose(res["sparse"], res["planes"], atol=0.2)
+
+    def test_ensemble_nmc_planes_degree_cap(self):
+        import pytest
+        from nmc_tpu.io.generators import random_sk
+        from nmc_tpu.parallel import EnsembleNMC
+        from nmc_tpu.parallel.sharded_pt import ShardedNPTConfig
+        probs = [random_sk(24, seed=0).normalized()[0]]
+        cfg = ShardedNPTConfig(sweeps_per_phase=4, num_cycles=1,
+                               block_size=8, lbp_mode="planes",
+                               lbp_max_iterations=5)
+        with pytest.raises(ValueError, match="degree"):
+            EnsembleNMC(probs, np.geomspace(0.3, 2.0, 4),
+                        [False] * 3 + [True], cfg)
+
     def test_ensemble_nmc_descends(self):
         from nmc_tpu.io.generators import random_sk
         from nmc_tpu.parallel import EnsembleNMC
