@@ -74,11 +74,14 @@ def main():
            "instances": args.instances, "replicas": args.replicas,
            "sweeps_per_phase": args.sweeps_per_phase,
            "nmc_cold": args.nmc_cold, "rounds_timed": args.rounds}
-    for label, lbp_every in (("lbp_every_1", 1), ("lbp_every_8", 8),
-                             ("lbp_off", 10 ** 6)):
+    for label, lbp_every, lbp_mode in (
+            ("lbp_every_1", 1, "auto"), ("lbp_every_8", 8, "auto"),
+            ("lbp_off", 10 ** 6, "auto"),
+            ("lbp_planes_every_1", 1, "planes")):
         cfg = ShardedNPTConfig(sweeps_per_phase=args.sweeps_per_phase,
                                use_coloring=True,
                                round_kernel=args.round_kernel,
+                               lbp_mode=lbp_mode,
                                lbp_every=lbp_every)
         ens = EnsembleNMC(probs, beta, doNMC, cfg)
         state = ens.init_state(jax.random.PRNGKey(0))
@@ -92,6 +95,11 @@ def main():
     lbp1 = out["lbp_every_1_s_per_round"]
     off = out["lbp_off_s_per_round"]
     out["lbp_share_of_round_at_every_1"] = (lbp1 - off) / lbp1
+    pl = out.get("lbp_planes_every_1_s_per_round")
+    if pl:
+        out["planes_speedup_full_round"] = lbp1 / pl
+        out["planes_speedup_lbp_stage"] = ((lbp1 - off) / (pl - off)
+                                           if pl > off else float("inf"))
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
