@@ -9,15 +9,16 @@ per-sub-replica Metropolis label swaps — runs fully in-jit for ALL
 instances at once (lax.scan over rounds, zero cross-instance traffic).
 
 The Houdayer move uses the exact fixed-point label propagation — by
-default the edge-list segment_min path (houdayer_move_sparse); the
-blocked union-tile masked-min variant (ops/clusters.
-houdayer_move_blocked) is an explicit opt-in (houdayer="blocked"), as
-the TPU profile at chimera2048 scale puts it at 0.95x the sparse path
-(results/icm_phase_breakdown_blocked.json). The sparse path runs over
-per-instance edge lists
-padded to a common length (dummy edges connect padded always-agreeing
-spins, so they can never activate). Both reach the same fixed point, so
-the trajectory is backend-invariant. The move feeds back into the chains
+default the MXU matmul path over one-hot neighbor planes
+(ops/clusters.houdayer_move_matmul; 2.3x the segment_min path on real
+chimera2048 states) when the family's max degree allows it, else the
+edge-list segment_min path (houdayer_move_sparse) over per-instance
+edge lists padded to a common length (dummy edges connect padded
+always-agreeing spins, so they can never activate). The blocked
+union-tile masked-min variant stays as an explicit opt-in
+(houdayer="blocked"; measured 0.95x sparse,
+results/icm_phase_breakdown_blocked.json). All variants reach the same
+fixed point, so the trajectory is backend-invariant. The move feeds back into the chains
 (the physically
 intended ICM; the reference's record-only quirk, apt_ICM.py:243-246, is a
 faithfulness concern for models/apt_icm.py, not for this solver arm).
@@ -588,7 +589,8 @@ class EnsembleICM:
             eb = jnp.where(imp, e_r, state.e_best)
             return res.m.reshape(self.I, S, R, n_pad), mb, eb
 
-        def _round(J_rows, J_diag, h, src, dst, state: EnsembleICMState):
+        def _round(J_rows, J_diag, h, src, dst, houd_J, houd_P,
+                   state: EnsembleICMState):
             keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
                 jnp.arange(self.I))
             if self._use_round_kernel:
@@ -600,12 +602,6 @@ class EnsembleICM:
                 )(J_rows, J_diag, h, state.m, state.slot_to_beta,
                   state.m_best, state.e_best, state.cl, state.dn,
                   keys, state.round_index)
-            houd_J = (jnp.zeros((self.I, 1, 1, 1, 1), dtype)
-                      if self._houd_tiles is None
-                      else self._houd_tiles[1])     # [I, nB, K, B, B]
-            houd_P = (jnp.zeros((self.I, 1, 1, 1, 1), jnp.bfloat16)
-                      if self._houd_planes is None
-                      else self._houd_planes[1])    # [I, nB, D, B, KB+1]
             m, b2s, s2b, mb, eb, moves, flips, cl, dn = jax.vmap(
                 one_instance,
                 in_axes=(0,) * 7 + (0, 0, 0, 0, 0, 0, 0, 0, None)
@@ -620,19 +616,36 @@ class EnsembleICM:
 
         return _round
 
+    def _houd_J_operand(self):
+        """Blocked-tile operand, or a tiny dummy — passed as a jit ARG
+        (instance-sharded global arrays must not be closed over in
+        multi-process meshes)."""
+        if self._houd_tiles is None:
+            return jnp.zeros((self.I, 1, 1, 1, 1), self.h.dtype)
+        return self._houd_tiles[1]
+
+    def _houd_P_operand(self):
+        if self._houd_planes is None:
+            return jnp.zeros((self.I, 1, 1, 1, 1), jnp.bfloat16)
+        return self._houd_planes[1]
+
     def run_scanned(self, state: EnsembleICMState, num_rounds: int):
         if num_rounds not in self._scan_jit:
             round_fn = self._build_round()
 
-            def scanned(J_rows, J_diag, h, src, dst, state0):
+            def scanned(J_rows, J_diag, h, src, dst, houd_J, houd_P,
+                        state0):
                 def body(s, _):
-                    return round_fn(J_rows, J_diag, h, src, dst, s), None
+                    return round_fn(J_rows, J_diag, h, src, dst,
+                                    houd_J, houd_P, s), None
                 s, _ = jax.lax.scan(body, state0, None, length=num_rounds)
                 return s
 
             self._scan_jit[num_rounds] = jax.jit(scanned)
         return self._scan_jit[num_rounds](self.J_rows, self.J_diag, self.h,
-                                          self.src, self.dst, state)
+                                          self.src, self.dst,
+                                          self._houd_J_operand(),
+                                          self._houd_P_operand(), state)
 
     def best(self, state: EnsembleICMState):
         from .distributed import host_gather
