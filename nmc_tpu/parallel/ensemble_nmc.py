@@ -392,13 +392,13 @@ class EnsembleNMC:
                 num_pairs=cfg.num_swapping_pairs)
             return m, swap.beta_to_slot, swap.slot_to_beta, mb, eb
 
-        def _refresh(J_rows, h, epsilon, state: EnsembleNMCState):
+        def _refresh(J_rows, ew, h, epsilon, state: EnsembleNMCState):
             if self.any_nmc:
                 # refresh backbone masks every lbp_every rounds — the
                 # predicate is unbatched, so the cond stays a real branch
-                # (LBP cost only paid on refresh rounds)
-                ew = (self.edge_w if self.edge_w is not None else
-                      jnp.zeros((self.I, 1), dtype))
+                # (LBP cost only paid on refresh rounds). `ew` arrives as
+                # a jit ARG: the instance-sharded edge weights must not
+                # be closed over in multi-process meshes.
                 refresh = (state.round_index % cfg.lbp_every) == 0
                 return jax.lax.cond(
                     refresh,
@@ -408,9 +408,9 @@ class EnsembleNMC:
                     lambda: (state.cl, state.do_nmc_slot))
             return state.cl, state.do_nmc_slot
 
-        def _kernel_round(J_rows, J_diag, h, epsilon,
+        def _kernel_round(J_rows, J_diag, h, epsilon, ew,
                           state: EnsembleNMCState):
-            cl, do_nmc = _refresh(J_rows, h, epsilon, state)
+            cl, do_nmc = _refresh(J_rows, ew, h, epsilon, state)
             beta_local = self.beta_list[state.slot_to_beta]    # [I, R]
             base = jnp.where(do_nmc, jnp.asarray(cfg.global_beta, dtype),
                              beta_local.astype(dtype))
@@ -496,8 +496,9 @@ class EnsembleNMC:
                 round_index=state.round_index + 1, m_best=mb, e_best=eb,
                 cl=cl, do_nmc_slot=do_nmc)
 
-        def _round(J_rows, J_diag, h, epsilon, state: EnsembleNMCState):
-            cl, do_nmc = _refresh(J_rows, h, epsilon, state)
+        def _round(J_rows, J_diag, h, epsilon, ew,
+                   state: EnsembleNMCState):
+            cl, do_nmc = _refresh(J_rows, ew, h, epsilon, state)
             keys = jax.vmap(lambda i: jax.random.fold_in(state.key, i))(
                 jnp.arange(self.I))
             m, b2s, s2b, mb, eb = jax.vmap(
@@ -520,15 +521,17 @@ class EnsembleNMC:
         if num_rounds not in self._scan_jit:
             round_fn = self._build_round()
 
-            def scanned(J_rows, J_diag, h, eps, state0):
+            def scanned(J_rows, J_diag, h, eps, ew, state0):
                 def body(s, _):
-                    return round_fn(J_rows, J_diag, h, eps, s), None
+                    return round_fn(J_rows, J_diag, h, eps, ew, s), None
                 s, _ = jax.lax.scan(body, state0, None, length=num_rounds)
                 return s
 
             self._scan_jit[num_rounds] = jax.jit(scanned)
+        ew = (self.edge_w if self.edge_w is not None else
+              jnp.zeros((self.I, 1), self.h.dtype))
         return self._scan_jit[num_rounds](self.J_rows, self.J_diag, self.h,
-                                          self.epsilon, state)
+                                          self.epsilon, ew, state)
 
     def best(self, state: EnsembleNMCState):
         """([I] best f32 energies, [I, n] best states, original order)."""

@@ -68,9 +68,12 @@ elif what == "ensemble_nmc":
     from nmc_tpu.parallel.ensemble_nmc import EnsembleNMC
     from nmc_tpu.parallel.sharded_pt import ShardedNPTConfig
     probs = [ea_2d(6, seed=s).normalized()[0] for s in range(8)]
+    # lbp_mode="sparse" (not dense): covers the instance-sharded edge
+    # weights crossing the jit boundary as an ARGUMENT — closing over a
+    # global array raises in multi-process meshes (caught round 3)
     cfg = ShardedNPTConfig(sweeps_per_phase=2, num_cycles=1,
                            num_swapping_pairs=2, use_coloring=True,
-                           block_size=16, lbp_mode="dense",
+                           block_size=16, lbp_mode="sparse",
                            lbp_max_iterations=5, round_kernel="off")
     ens = EnsembleNMC(probs, np.geomspace(0.3, 3.0, 8),
                       [False] * 6 + [True] * 2, cfg,
