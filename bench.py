@@ -90,9 +90,33 @@ def measure_reference_python(n=1024, budget_s=2.0):
     return attempts / dt
 
 
+def _tpu_watchdog(timeout_s=240):
+    """Fail FAST (exit 1, stderr note) when the axon tunnel is
+    unreachable, instead of hanging the caller: backend init blocks
+    indefinitely during tunnel outages (observed 2026-08-17, ~2 h), and
+    a hung bench stalls whoever invoked it. Probe in a subprocess so the
+    hang cannot leak into this process."""
+    import subprocess
+    probe = ("import sys; sys.path.insert(0, '/root/repo')\n"
+             "import jax, jax.numpy as jnp\n"
+             "(jnp.ones((128, 128)) @ jnp.ones((128, 128)))"
+             ".block_until_ready()\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return
+        msg = r.stderr.decode(errors="replace")[-500:]
+    except subprocess.TimeoutExpired:
+        msg = f"device probe hung > {timeout_s}s (tunnel outage?)"
+    print(f"bench: TPU unreachable — {msg}", file=sys.stderr)
+    sys.exit(1)
+
+
 def main():
     from nmc_tpu.utils.compcache import enable_compilation_cache
     enable_compilation_cache()
+    _tpu_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--sweep", action="store_true")
