@@ -67,7 +67,7 @@ class ShardedNPTConfig:
                              # TTS-granularity rounds can refresh less often)
     lbp_mode: str = "auto"   # 'dense' | 'sparse' | 'auto' (sparse above 1024
                              # spins: dense [N,N] messages blow memory) |
-                             # 'planes' (EnsembleNMC only, opt-in:
+                             # 'planes' (opt-in, EnsembleNMC + ShardedNPT:
                              # scatter-free slotted-edge LBP via one-hot
                              # matmuls, ops/lbp_planes; raises on dense
                              # families)
@@ -160,12 +160,24 @@ class ShardedNPT:
                                           cfg.lambda_reduction_factor))
         self.lbp_sparse = (cfg.lbp_mode == "sparse"
                            or (cfg.lbp_mode == "auto" and self.n_pad > 1024))
-        if self.any_nmc and self.lbp_sparse:
+        self.edge_graph = None
+        self.edge_slots = None
+        self._w_slot = None
+        if self.any_nmc and cfg.lbp_mode == "planes":
+            # opt-in scatter-free slotted-edge LBP (ops/lbp_planes; see
+            # EnsembleNMC for the rationale and the degree-cap policy)
+            from ..core.problem import block_sparse_tiles
+            from ..ops.lbp_planes import (build_edge_slot_planes,
+                                          w_slot_from_tiles)
+            col_idx_s, J_tiles_s = block_sparse_tiles(b)
+            esp = build_edge_slot_planes(col_idx_s, J_tiles_s != 0)
+            self.edge_slots = esp
+            self._w_slot = jnp.asarray(w_slot_from_tiles(esp, J_tiles_s),
+                                       dtype)
+        elif self.any_nmc and self.lbp_sparse:
             from ..ops.lbp_sparse import EdgeGraph
             g = EdgeGraph.from_dense(self._dense_J_np())
             self.edge_graph = g
-        else:
-            self.edge_graph = None
 
         # whole-round Pallas kernel per replica shard (same kernel as
         # EnsembleNMC, instance grid of 1): all NMC phases of a round in
@@ -263,6 +275,18 @@ class ShardedNPT:
             max_iterations=cfg.lbp_max_iterations,
             tolerance=cfg.lbp_tolerance)
 
+    def _lbp_marginal_planes(self, m_star):
+        """Slotted-edge convexified LBP for ONE slot — scatter-free
+        (ops/lbp_planes.convexified_marginal_planes), opt-in via
+        lbp_mode='planes'."""
+        from ..ops.lbp_planes import convexified_marginal_planes
+        cfg = self.cfg
+        return convexified_marginal_planes(
+            self.edge_slots, self._w_slot, self.h, self.epsilon, m_star,
+            beta=cfg.global_beta, ladder=self.ladder,
+            max_iterations=cfg.lbp_max_iterations,
+            tolerance=cfg.lbp_tolerance)
+
     # ------------------------------------------------------------------
     def _build_round(self):
         cfg = self.cfg
@@ -295,7 +319,9 @@ class ShardedNPT:
 
             if self.any_nmc:
                 from ..ops.clusters import backbone_mask_device
-                lbp_fn = (self._lbp_marginal_sparse if self.lbp_sparse
+                lbp_fn = (self._lbp_marginal_planes
+                          if self.edge_slots is not None
+                          else self._lbp_marginal_sparse if self.lbp_sparse
                           else self._lbp_marginal)
 
                 def compute_cl():

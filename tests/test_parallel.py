@@ -171,6 +171,22 @@ def test_sharded_npt_sparse_lbp_mode():
     assert np.isfinite(np.asarray(metrics.slot_energies)).all()
 
 
+def test_sharded_npt_planes_lbp_mode():
+    from nmc_tpu.io.generators import ea_2d
+    prob = ea_2d(8, seed=0)
+    R = 16
+    cfg = ShardedNPTConfig(sweeps_per_phase=6, num_cycles=1,
+                           num_swapping_pairs=3, global_beta=2.0,
+                           block_size=8, lbp_max_iterations=8,
+                           lbp_mode="planes", lambda_reduction_factor=0.3)
+    pt = ShardedNPT(prob, np.linspace(0.3, 3, R), [False] * 12 + [True] * 4,
+                    cfg)
+    assert pt.edge_slots is not None and pt._w_slot is not None
+    state = pt.init_state(jax.random.PRNGKey(0))
+    state, metrics = pt.run(state, 2)
+    assert np.isfinite(np.asarray(metrics.slot_energies)).all()
+
+
 def test_sharded_npt_checkpoint_roundtrip(tmp_path):
     prob = random_sk(16, seed=6).normalized()[0]
     cfg = ShardedNPTConfig(sweeps_per_phase=4, num_cycles=1,
