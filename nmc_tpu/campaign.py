@@ -94,6 +94,8 @@ def get_instances(spec, limit):
 def _num(x):
     """float or None — keep the JSONL strict-JSON (no NaN/Infinity
     tokens; contrived-family targets are unknown)."""
+    if x is None:
+        return None
     x = float(x)
     return x if x == x and abs(x) != float("inf") else None
 
@@ -210,8 +212,27 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
         ens = EnsembleNMC(probs, beta, doNMC, cfg)
     total_rounds = max(args.sweeps // sweeps_per_round, 1)
 
+    m0 = None
+    if args.init == "spectral":
+        # seed the coldest chains with spectral-descent candidates —
+        # probs are normalized, but rounding/descent are scale-invariant
+        from .ops.spectral import spectral_candidates
+        t_s = time.perf_counter()
+        C = args.init_chains
+        m0 = np.stack([
+            spectral_candidates(p.J, p.h if np.any(p.h) else None,
+                                top_k=args.init_top or None,
+                                num_subspace=args.init_subspace,
+                                seed=args.seed)[0][:C]
+            for p in probs])
+        meta = dict(meta, init="spectral", init_chains=C,
+                    init_top=args.init_top,
+                    init_subspace=args.init_subspace)
+        print(f"spectral seeding: {C} chains x {I} instances in "
+              f"{time.perf_counter() - t_s:.1f}s", flush=True)
+
     t0 = time.perf_counter()
-    state = ens.init_state(jax.random.PRNGKey(args.seed))
+    state = ens.init_state(jax.random.PRNGKey(args.seed), m0=m0)
     rounds_done = 0
     hit_at = {}           # name -> (rounds, seconds)
     best64 = np.full(I, np.inf)
@@ -330,6 +351,45 @@ def run_arm(args):
                 seed=args.seed)
     print(f"# campaign {meta}", flush=True)
 
+    if args.arm == "spectral":
+        # Host spectral search (ops/spectral.py): eigh + sign rounding +
+        # batched 1-flip descent (+ 2-flip polish). No MCMC — this arm
+        # measures how much of a family is spectrally visible (Wishart
+        # golf-course landscapes: everything; see docs/BENCHMARKS.md).
+        from .ops.spectral import spectral_search
+        meta = dict(meta, init_top=args.init_top,
+                    init_subspace=args.init_subspace,
+                    polish=args.spectral_polish)
+        for name, prob, gs_raw in get_instances(spec, args.instances):
+            if name in done:
+                continue
+            t0 = time.perf_counter()
+            r = spectral_search(
+                prob, top_k=args.init_top or None,
+                num_subspace=args.init_subspace,
+                polish=args.spectral_polish, seed=args.seed)
+            wall = time.perf_counter() - t0
+            hit = (gs_raw is not None and not np.isnan(gs_raw)
+                   and r.best_energy <= gs_raw + max(1e-6 * abs(gs_raw),
+                                                     1e-9))
+            rec = dict(
+                name=name, n=prob.n, gs_raw=_num(gs_raw),
+                found_raw=_num(r.best_energy),
+                residual=_num(r.best_energy - gs_raw)
+                if gs_raw is not None else None,
+                hit=bool(hit),
+                hit_seconds=wall if hit else None, hit_sweeps=0,
+                rounds_completed=1, rounds_total=1,
+                per_swap=0, wall_seconds=wall, meta=meta,
+            )
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            res_str = ("n/a" if rec["residual"] is None
+                       else f"{rec['residual']:.4f}")
+            print(f"{name}: hit={rec['hit']} residual={res_str} "
+                  f"wall={wall:.2f}s", flush=True)
+        return
+
     if args.arm in ("pt", "nmc", "icm", "hybrid"):
         pending = [(name, prob, gs) for name, prob, gs
                    in get_instances(spec, args.instances)
@@ -406,7 +466,27 @@ def add_campaign_args(p):
                    help="instance dialect for --folder")
     p.add_argument("--folder", help="custom instance folder (overrides --family)")
     p.add_argument("--arm",
-                   choices=["pt", "nmc", "icm", "hybrid", "icm_host"])
+                   choices=["pt", "nmc", "icm", "hybrid", "icm_host",
+                            "spectral"])
+    p.add_argument("--init", choices=["random", "spectral"],
+                   default="random",
+                   help="chain initialization for the batched arms: "
+                        "'spectral' seeds the --init-chains coldest "
+                        "chains per instance with sign-rounded-eigenvector"
+                        " descent states (ops/spectral.py) — the planted "
+                        "basin of Wishart-type instances is spectrally "
+                        "visible but thermally invisible")
+    p.add_argument("--init-chains", type=int, default=4,
+                   help="how many coldest chains --init spectral seeds")
+    p.add_argument("--init-top", type=int, default=0,
+                   help="restrict spectral candidates to the top-K "
+                        "eigenvectors (0 = all n)")
+    p.add_argument("--init-subspace", type=int, default=0,
+                   help="extra rounded random samples from the top "
+                        "eigenspace")
+    p.add_argument("--spectral-polish", type=int, default=8,
+                   help="2-flip-polish the best K candidates "
+                        "(--arm spectral only)")
     p.add_argument("--summarize", nargs="+", metavar="JSONL",
                    help="render a summary table from campaign result files "
                         "instead of running")

@@ -298,11 +298,22 @@ class EnsembleICM:
                  or (cfg.round_kernel == "auto" and backend != "cpu")))
 
     # ------------------------------------------------------------------
-    def init_state(self, key) -> EnsembleICMState:
+    def init_state(self, key, m0=None) -> EnsembleICMState:
+        """Random +-1 start.  `m0` (optional, [I, C, n] ORIGINAL spin
+        order, ascending energy) seeds the C coldest chains of
+        SUBREPLICA 0 only — subreplica 1 stays random so the Houdayer
+        pairs start with non-empty disagreement sets."""
         k_m, key = jax.random.split(key)
         I, S, R, n_pad = self.I, self.S, self.R, self.n_pad
         u = jax.random.uniform(k_m, (I, S, R, n_pad), dtype=self.h.dtype)
         m = jnp.where(u < 0.5, -1.0, 1.0).astype(self.h.dtype)
+        if m0 is not None:
+            m0 = self.blocked0.to_blocked(np.asarray(m0), fill=1.0)
+            m0 = jnp.asarray(m0, self.h.dtype)
+            C = m0.shape[1]
+            if C > R:
+                raise ValueError(f"m0 has {C} seeds > {R} replicas")
+            m = m.at[:, 0, R - C:, :].set(m0[:, ::-1, :])
         m = jnp.where(self.active, m, 1.0)
         inst = NamedSharding(self.mesh, P(self.axis))
         ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), (I, S, R))

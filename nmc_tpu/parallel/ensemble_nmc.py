@@ -233,11 +233,21 @@ class EnsembleNMC:
                  or (cfg.round_kernel == "auto" and backend != "cpu")))
 
     # ------------------------------------------------------------------
-    def init_state(self, key) -> EnsembleNMCState:
+    def init_state(self, key, m0=None) -> EnsembleNMCState:
+        """Random +-1 start.  `m0` (optional, [I, C, n] ORIGINAL spin
+        order, ascending energy) seeds the C coldest chains — see
+        EnsemblePT.init_state."""
         k_m, key = jax.random.split(key)
         u = jax.random.uniform(k_m, (self.I, self.R, self.n_pad),
                                dtype=self.h.dtype)
         m = jnp.where(u < 0.5, -1.0, 1.0).astype(self.h.dtype)
+        if m0 is not None:
+            m0 = self.blocked0.to_blocked(np.asarray(m0), fill=1.0)
+            m0 = jnp.asarray(m0, self.h.dtype)
+            C = m0.shape[1]
+            if C > self.R:
+                raise ValueError(f"m0 has {C} seeds > {self.R} replicas")
+            m = m.at[:, self.R - C:, :].set(m0[:, ::-1, :])
         m = jnp.where(self.active, m, 1.0)
         inst = NamedSharding(self.mesh, P(self.axis))
         ids = jnp.broadcast_to(jnp.arange(self.R, dtype=jnp.int32),
