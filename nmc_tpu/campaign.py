@@ -357,7 +357,7 @@ def run_arm(args):
         # measures how much of a family is spectrally visible (Wishart
         # golf-course landscapes: everything; see docs/BENCHMARKS.md).
         from .ops.spectral import spectral_search
-        meta = dict(meta, init_top=args.init_top,
+        meta = dict(meta, sweeps=0, init_top=args.init_top,
                     init_subspace=args.init_subspace,
                     polish=args.spectral_polish)
         for name, prob, gs_raw in get_instances(spec, args.instances):
