@@ -166,14 +166,26 @@ def streamed_round_vmem_bytes(n_pad: int, R: int, K: int,
             + 8 * 4 * R * n_pad + 6 * 4 * n_pad)
 
 
+def resident_sparse_round_vmem_bytes(n_pad: int, R: int, K: int,
+                                     block_size: int = 128) -> int:
+    """VMEM for the resident-sparse variant: the instance's FULL tile
+    stack [nB, B, K*B] lives in VMEM (auto-copied once per grid step)
+    instead of double-buffering row slabs — per-sweep J traffic drops to
+    zero.  chimera2048 (nB=16, K=5, B=128) is 5.2 MB: far under VMEM
+    while the dense [n_pad, n_pad] would be 16.8 MB."""
+    nB = n_pad // block_size
+    return (nB * K * block_size * block_size * 4
+            + 8 * 4 * R * n_pad + 6 * 4 * n_pad)
+
+
 def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
-                           num_tiles, temp_x_inv, R, n_pad,
+                           num_tiles, temp_x_inv, R, n_pad, resident,
                            seed_ref, col_idx_ref,                  # SMEM
                            J_tiles_ref, h_ref, act_ref, cl_ref, dn_ref,
                            beta_ref, m_in_ref,                     # ins
                            m_ref, mb_ref, eb_ref, ec_ref,          # outs
                            phi, mpb, epb, bsb, mkb,
-                           tbuf, sems):                            # scratch
+                           *dma_scratch):  # (tbuf, sems) unless resident
     g = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + g, seed_ref[1])
 
@@ -185,13 +197,34 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
     dn = dn_ref[0]
     beta = beta_ref[0]
 
-    def dma(slot, b):
-        # one contiguous [B, K*B] slab: row block b's K nonzero column
-        # tiles laid side by side (wrapper pre-concatenates), so the phi
-        # update is ONE [R, B] x [B, K*B] MXU matmul per row block
-        # instead of K narrow [R, B] x [B, B] ones
-        return pltpu.make_async_copy(J_tiles_ref.at[g, b], tbuf.at[slot],
-                                     sems.at[slot])
+    if resident:
+        # the instance's whole tile stack was auto-copied to VMEM by the
+        # BlockSpec — zero per-sweep J traffic, no DMA bookkeeping
+        tile_dtype = J_tiles_ref.dtype
+
+        def tile_start(slot, b):
+            pass
+
+        def tile_wait_get(slot, b):
+            return J_tiles_ref[0, b]
+    else:
+        tbuf, sems = dma_scratch
+        tile_dtype = tbuf.dtype
+
+        def dma(slot, b):
+            # one contiguous [B, K*B] slab: row block b's K nonzero
+            # column tiles laid side by side (wrapper pre-concatenates),
+            # so the phi update is ONE [R, B] x [B, K*B] MXU matmul per
+            # row block instead of K narrow [R, B] x [B, B] ones
+            return pltpu.make_async_copy(J_tiles_ref.at[g, b],
+                                         tbuf.at[slot], sems.at[slot])
+
+        def tile_start(slot, b):
+            dma(slot, b).start()
+
+        def tile_wait_get(slot, b):
+            dma(slot, b).wait()
+            return tbuf[slot]
 
     def scatter_phi(b, out):
         # out[:, k*B:(k+1)*B] is row block b's contribution to column
@@ -211,15 +244,15 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
         # 0). Run at every phase start so f32 drift from the incremental
         # updates is bounded by one phase, like the XLA path.
         phi[:] = jnp.broadcast_to(h, (R, n_pad))
-        dma(0, 0).start()
+        tile_start(0, 0)
         for b in range(nB):      # static pass over row blocks
             slot = b % 2
             if b + 1 < nB:
-                dma((b + 1) % 2, b + 1).start()
-            dma(slot, b).wait()
+                tile_start((b + 1) % 2, b + 1)
+            tile = tile_wait_get(slot, b)
             s = b * B
-            out = jnp.dot(m_ref[0, :, s:s + B].astype(tbuf.dtype),
-                          tbuf[slot],
+            out = jnp.dot(m_ref[0, :, s:s + B].astype(tile_dtype),
+                          tile,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
             scatter_phi(b, out)
@@ -243,18 +276,19 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
         epb[:] = jnp.full((R, 1), jnp.inf, jnp.float32)
         mpb[:] = m_ref[0]   # never read stale scratch (see _round_kernel)
         total = sweeps_per_phase * nB
-        dma(0, 0).start()
+        tile_start(0, 0)
 
         def step(i, _):
             b = i % nB
             slot = i % 2
             nslot = (i + 1) % 2
 
-            @pl.when(i + 1 < total)
-            def _():
-                dma(nslot, (i + 1) % nB).start()
+            if not resident:
+                @pl.when(i + 1 < total)
+                def _():
+                    dma(nslot, (i + 1) % nB).start()
 
-            dma(slot, b).wait()
+            tile = tile_wait_get(slot, b)
             s = pl.multiple_of(b * B, B)
             bits = pltpu.prng_random_bits((R, B))
             bits24 = pltpu.bitcast(
@@ -268,7 +302,7 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
             new = jnp.where(mkb[:, pl.ds(s, B)] > 0, new, mb)
             dm = new - mb
             m_ref[0, :, pl.ds(s, B)] = new
-            out = jnp.dot(dm.astype(tbuf.dtype), tbuf[slot],
+            out = jnp.dot(dm.astype(tile_dtype), tile,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
             scatter_phi(b, out)
@@ -301,7 +335,7 @@ def _streamed_round_kernel(phases, sweeps_per_phase, num_blocks, block_size,
     jax.jit,
     static_argnames=("num_cycles", "sweeps_per_phase",
                      "full_update_frequency", "temp_x_inv", "block_size",
-                     "interpret"),
+                     "interpret", "resident"),
 )
 def pallas_ensemble_round_streamed(
     col_idx,    # [nB, K] int32 union nonzero column-tile indices
@@ -320,11 +354,19 @@ def pallas_ensemble_round_streamed(
     temp_x_inv: float = 1.0 / 20.0,
     block_size: int = 128,
     interpret: bool = False,
+    resident: bool = False,
 ) -> EnsembleRoundResult:
     """Streamed variant of pallas_ensemble_round for J too large for VMEM:
     chain states stay VMEM-resident across the whole round, per-instance
     block-SPARSE J column tiles double-buffer from HBM (traffic cut
-    n_pad/(K*B) vs dense streaming on chimera/DCL topologies)."""
+    n_pad/(K*B) vs dense streaming on chimera/DCL topologies).
+
+    resident=True keeps the instance's WHOLE tile stack in VMEM (one
+    BlockSpec copy per grid step, zero per-sweep J traffic) — use when
+    `resident_sparse_round_vmem_bytes` fits the cap: the sweep loop at
+    chimera2048 is HBM-bound on slab DMA (~330 KB per block step vs
+    ~0.2 us of MXU work), so residency removes the dominant traffic
+    while the DENSE [n_pad, n_pad] layout would not fit."""
     I, R, n_pad = m0.shape
     _, nB, K, B, _ = J_tiles.shape
     if n_pad != nB * B:
@@ -341,7 +383,7 @@ def pallas_ensemble_round_streamed(
 
     kern = functools.partial(_streamed_round_kernel, phases,
                              sweeps_per_phase, nB, B, K, temp_x_inv,
-                             R, n_pad)
+                             R, n_pad, resident)
     vm = pltpu.VMEM
     hspec = pl.BlockSpec((1, 1, n_pad), lambda g, *_: (g, 0, 0),
                          memory_space=vm)
@@ -351,11 +393,20 @@ def pallas_ensemble_round_streamed(
                          memory_space=vm)
     sspec = pl.BlockSpec((1, R, 1), lambda g, *_: (g, 0, 0), memory_space=vm)
 
+    if resident:
+        jspec = pl.BlockSpec((1, nB, B, K * B), lambda g, *_: (g, 0, 0, 0),
+                             memory_space=vm)
+        dma_scratch = []
+    else:
+        jspec = pl.BlockSpec(memory_space=pltpu.ANY)      # stays in HBM
+        dma_scratch = [
+            pltpu.VMEM((2, B, K * B), J_tiles.dtype),  # tile double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # seed, col_idx
         grid=(I,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),   # J tiles (HBM)
-                  hspec, aspec, rspec, sspec, sspec, rspec],
+        in_specs=[jspec, hspec, aspec, rspec, sspec, sspec, rspec],
         out_specs=(rspec, rspec, sspec, sspec),
         scratch_shapes=[
             pltpu.VMEM((R, n_pad), jnp.float32),   # phi
@@ -363,9 +414,7 @@ def pallas_ensemble_round_streamed(
             pltpu.VMEM((R, 1), jnp.float32),       # e phase-best
             pltpu.VMEM((R, n_pad), jnp.float32),   # per-spin beta mult
             pltpu.VMEM((R, n_pad), jnp.float32),   # update mask
-            pltpu.VMEM((2, B, K * B), J_tiles.dtype),  # tile double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + dma_scratch,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((I, R, n_pad), jnp.float32),

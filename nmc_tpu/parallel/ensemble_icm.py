@@ -231,6 +231,7 @@ class EnsembleICM:
         want_planes = (cfg.houdayer == "matmul"
                        or (cfg.houdayer == "auto" and matmul_ok))
         self._stream_tiles = None
+        self._stream_resident = False
         self._houd_tiles = None   # (col_idx, J_tiles) for the blocked
         #                           Houdayer label propagation (no VMEM /
         #                           K gates: it runs on the XLA path)
@@ -251,6 +252,14 @@ class EnsembleICM:
                         self.n_pad, Rk, K,
                         blocked[0].block_size) <= vmem_cap):
                 self._stream_tiles = tiles
+                # VMEM-resident tile stack when it fits (no per-sweep
+                # J traffic — see round_pallas resident docstring)
+                from ..ops.round_pallas import (
+                    resident_sparse_round_vmem_bytes)
+                self._stream_resident = (
+                    resident_sparse_round_vmem_bytes(
+                        self.n_pad, Rk, K,
+                        blocked[0].block_size) <= vmem_cap)
             if cfg.houdayer == "blocked":
                 # explicit opt-in only: the TPU profile at chimera2048
                 # scale (results/icm_phase_breakdown_blocked.json) puts
@@ -559,7 +568,8 @@ class EnsembleICM:
                         num_cycles=self._cycles, sweeps_per_phase=spp,
                         temp_x_inv=tx_inv,
                         block_size=self.blocked0.block_size,
-                        interpret=self._round_interpret)
+                        interpret=self._round_interpret,
+                        resident=self._stream_resident)
             else:
                 J_op = J_rows.reshape(I, n_pad, n_pad)
 

@@ -36,6 +36,7 @@ from ..ops.lbp_jit import (convexified_marginal_dense,
 from ..ops.round_pallas import (pallas_ensemble_round,
                                 pallas_ensemble_round_streamed,
                                 round_kernel_vmem_bytes,
+                                resident_sparse_round_vmem_bytes,
                                 streamed_round_vmem_bytes)
 from ..ops.sweeps import run_sweeps
 from .sharded_pt import ShardedNPTConfig
@@ -192,6 +193,7 @@ class EnsembleNMC:
         dense_fit = basic and (round_kernel_vmem_bytes(self.n_pad, self.R)
                                <= vmem_cap)
         self._stream_tiles = None
+        self._stream_resident = False
         if basic and not dense_fit and cfg.round_kernel != "off":
             col_idx, J_tiles = _union_tiles(blocked)
             K, nBk = col_idx.shape[1], blocked[0].num_blocks
@@ -202,6 +204,13 @@ class EnsembleNMC:
                 self._stream_tiles = (
                     jnp.asarray(col_idx),
                     jax.device_put(jnp.asarray(J_tiles), inst))
+                # prefer the VMEM-resident tile stack when it fits: the
+                # block-step loop is HBM-bound on slab DMA, residency
+                # removes per-sweep J traffic entirely
+                self._stream_resident = (
+                    resident_sparse_round_vmem_bytes(
+                        self.n_pad, self.R, K,
+                        blocked[0].block_size) <= vmem_cap)
         backend = jax.default_backend()
         self._round_interpret = backend == "cpu"
         if cfg.round_kernel not in ("auto", "on", "off"):
@@ -441,7 +450,8 @@ class EnsembleNMC:
                         full_update_frequency=cfg.full_update_frequency,
                         temp_x_inv=1.0 / cfg.temp_x,
                         block_size=self.blocked0.block_size,
-                        interpret=self._round_interpret)
+                        interpret=self._round_interpret,
+                        resident=self._stream_resident)
             else:
                 J_op = J_rows.reshape(self.I, n_pad, n_pad)
 

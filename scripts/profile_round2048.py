@@ -68,17 +68,23 @@ def main():
     n = probs[0].n
     attempts = I * S * R * n * args.sweeps_per_round * args.rounds
 
-    for mode in ("on", "off"):
+    # "on" auto-selects the VMEM-resident tile stack when it fits;
+    # "on_streamed" forces the double-buffered HBM slab path for the A/B
+    for mode in ("on", "on_streamed", "off"):
+        kernel = "on" if mode.startswith("on") else mode
         cfg = EnsembleICMConfig(sweeps_per_round=args.sweeps_per_round,
                                 num_subreplicas=S, num_swapping_pairs=4,
                                 use_coloring=True,  # kernel gate: colored
-                                round_kernel=mode)  # Jacobi tile layout
+                                round_kernel=kernel)  # Jacobi tile layout
         ens = EnsembleICM(probs, beta, cfg)
+        if mode == "on_streamed":
+            ens._stream_resident = False        # before any round builds
         state = ens.init_state(jax.random.PRNGKey(0))
         dt, state = time_rounds(ens, state, args.rounds)
         eb, _ = ens.best(state)
         out[f"kernel_{mode}"] = {
             "used_round_kernel": bool(ens._use_round_kernel),
+            "resident": bool(getattr(ens, "_stream_resident", False)),
             "seconds": dt,
             "rounds_per_s": args.rounds / dt,
             "attempts_per_s": attempts / dt,
@@ -89,6 +95,9 @@ def main():
     if out["kernel_on"]["used_round_kernel"]:
         out["speedup_kernel_vs_xla"] = (out["kernel_on"]["attempts_per_s"]
                                         / out["kernel_off"]["attempts_per_s"])
+        out["speedup_resident_vs_streamed"] = (
+            out["kernel_on"]["attempts_per_s"]
+            / out["kernel_on_streamed"]["attempts_per_s"])
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: v for k, v in out.items()

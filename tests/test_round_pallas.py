@@ -199,6 +199,41 @@ class TestStreamedRoundKernel:
         assert (np.asarray(res.e_best) <=
                 np.asarray(res.e_carried) + 1e-4).all()
 
+    def test_resident_matches_streamed_bit_exact(self):
+        """resident=True (VMEM-resident tile stack, no per-sweep DMA)
+        must be draw-for-draw identical to the streamed path: same PRNG
+        stream, same update order, only the J transport changes."""
+        from nmc_tpu.core.problem import block_sparse_tiles
+        from nmc_tpu.ops.round_pallas import pallas_ensemble_round_streamed
+        prob, b = _blocked_pair(seed=7)
+        n_pad = b.n_pad
+        R = 8
+        ci, jt = block_sparse_tiles(b)
+        J_tiles = np.broadcast_to(jt, (2,) + jt.shape).copy()
+        h = np.broadcast_to(np.asarray(b.h), (2, n_pad)).copy()
+        act = np.asarray(b.active, np.float32)
+        rng = np.random.default_rng(7)
+        m0 = np.where(rng.random((2, R, n_pad)) < 0.5, -1.0,
+                      1.0).astype(np.float32)
+        m0 = np.where(act.astype(bool), m0, 1.0)
+        cl = (rng.random((2, R, n_pad)) < 0.3) & act.astype(bool)
+        dn = np.array([[False] * 5 + [True] * 3] * 2)
+        beta = np.broadcast_to(np.geomspace(0.4, 3.0, R), (2, R))
+        kw = dict(num_cycles=2, sweeps_per_phase=5,
+                  block_size=b.block_size, interpret=True)
+        a = pallas_ensemble_round_streamed(
+            ci, J_tiles, h, act, m0, cl, dn, beta, 11, **kw)
+        r = pallas_ensemble_round_streamed(
+            ci, J_tiles, h, act, m0, cl, dn, beta, 11, resident=True,
+            **kw)
+        np.testing.assert_array_equal(np.asarray(a.m), np.asarray(r.m))
+        np.testing.assert_array_equal(np.asarray(a.m_best),
+                                      np.asarray(r.m_best))
+        np.testing.assert_array_equal(np.asarray(a.e_best),
+                                      np.asarray(r.e_best))
+        np.testing.assert_array_equal(np.asarray(a.e_carried),
+                                      np.asarray(r.e_carried))
+
 
 class TestEnsembleICMKernelPath:
     def _ens(self, round_kernel):
