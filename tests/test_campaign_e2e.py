@@ -64,3 +64,42 @@ def test_campaign_hybrid_arm_cli(tmp_path):
     assert len(recs) == 4
     assert sum(r["hit"] for r in recs) >= 2
     assert recs[0]["meta"]["arm"] == "hybrid"
+
+
+@pytest.mark.skipif(not os.path.isdir(FOLDER),
+                    reason="reference wishart_small not present")
+def test_campaign_spectral_arm_cli(tmp_path):
+    from nmc_tpu.campaign import main
+
+    out = str(tmp_path / "sp.jsonl")
+    main(["--folder", FOLDER, "--kind", "wishart",
+          "--instances", "4", "--arm", "spectral",
+          "--spectral-polish", "8", "--out", out])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    # N=10 alpha=0.50 integer-quantized: spectral must solve all of them
+    assert sum(r["hit"] for r in recs) == 4
+    for r in recs:
+        assert r["meta"]["arm"] == "spectral"
+        assert r["meta"]["sweeps"] == 0
+        assert r["hit_seconds"] is not None and r["hit_seconds"] < 60
+
+
+@pytest.mark.skipif(not os.path.isdir(FOLDER),
+                    reason="reference wishart_small not present")
+def test_campaign_init_spectral_seeding_cli(tmp_path):
+    from nmc_tpu.campaign import main
+
+    out = str(tmp_path / "sd.jsonl")
+    main(["--folder", FOLDER, "--kind", "wishart",
+          "--instances", "4", "--replicas", "8", "--beta-max", "8",
+          "--chunk-rounds", "2", "--sweeps", "800",
+          "--arm", "icm", "--subreplicas", "2",
+          "--init", "spectral", "--init-chains", "2", "--out", out])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    # seeds start IN the planted basin: hits land in the first chunk
+    assert sum(r["hit"] for r in recs) == 4
+    for r in recs:
+        assert r["meta"]["init"] == "spectral"
+        assert r["meta"]["init_chains"] == 2
