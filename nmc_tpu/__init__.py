@@ -29,7 +29,10 @@ from .ops.clusters import (NeighborPlanes, build_neighbor_planes,
                            houdayer_move_device, houdayer_move_matmul,
                            houdayer_move_sparse)
 from .ops.lbp_sparse import EdgeGraph, sparse_lbp, sparse_lbp_convexified
-from .ops.spectral import (SpectralResult, spectral_candidates,
+from .ops.spectral import (SpectralResult, auto_subspace_dim,
+                           difference_map_rounding,
+                           difference_map_rounding_device,
+                           spectral_candidates,
                            spectral_candidates_device, spectral_search)
 
 __version__ = "0.1.0"
@@ -49,7 +52,8 @@ __all__ = [
     "disagreement_clusters", "houdayer_move_device",
     "houdayer_move_sparse", "houdayer_move_matmul",
     "SpectralResult", "spectral_search", "spectral_candidates",
-    "spectral_candidates_device",
+    "spectral_candidates_device", "auto_subspace_dim",
+    "difference_map_rounding", "difference_map_rounding_device",
     "NeighborPlanes", "build_neighbor_planes",
     "greedy_coloring", "color_groups", "num_colors",
 ]

@@ -17,6 +17,7 @@ Custom folders: --kind chimera --folder /path/to/instances
 import argparse
 import json
 import os
+import re
 import time
 
 import numpy as np
@@ -98,6 +99,20 @@ def _num(x):
         return None
     x = float(x)
     return x if x == x and abs(x) != float("inf") else None
+
+
+def _dm_dim(spec, name, n):
+    """Resolve the --dm-dim knob to an int (or None = auto spectral-gap
+    estimate inside ops.spectral): 'alpha' parses `alpha_X.YZ` from the
+    instance name (wishart folder convention) -> d = n - round(alpha*n)."""
+    if spec == "auto":
+        return None
+    if spec == "alpha":
+        m = re.search(r"alpha_(\d+\.?\d*)", name)
+        if not m:
+            return None
+        return max(2, n - int(round(float(m.group(1)) * n)))
+    return int(spec)
 
 
 def build_ladder(beta_min, beta_max, num_replicas):
@@ -359,7 +374,8 @@ def run_arm(args):
         from .ops.spectral import spectral_search
         meta = dict(meta, sweeps=0, init_top=args.init_top,
                     init_subspace=args.init_subspace,
-                    polish=args.spectral_polish)
+                    polish=args.spectral_polish,
+                    dm=args.spectral_dm, dm_dim=args.dm_dim)
         for name, prob, gs_raw in get_instances(spec, args.instances):
             if name in done:
                 continue
@@ -367,6 +383,9 @@ def run_arm(args):
             r = spectral_search(
                 prob, top_k=args.init_top or None,
                 num_subspace=args.init_subspace,
+                dm_starts=args.spectral_dm,
+                dm_iters=args.spectral_dm_iters,
+                dm_dim=_dm_dim(args.dm_dim, name, prob.n),
                 polish=args.spectral_polish, seed=args.seed)
             wall = time.perf_counter() - t0
             hit = (gs_raw is not None and not np.isnan(gs_raw)
@@ -487,6 +506,18 @@ def add_campaign_args(p):
     p.add_argument("--spectral-polish", type=int, default=8,
                    help="2-flip-polish the best K candidates "
                         "(--arm spectral only)")
+    p.add_argument("--spectral-dm", type=int, default=0,
+                   help="difference-map random starts (0 = off): pooled "
+                        "snapshot rounding in the degenerate top "
+                        "eigenspace — cracks float-coupling planted "
+                        "folders single-eigenvector rounding misses")
+    p.add_argument("--spectral-dm-iters", type=int, default=500,
+                   help="difference-map iterations per start")
+    p.add_argument("--dm-dim", default="alpha",
+                   help="difference-map subspace dimension: 'alpha' = "
+                        "n - round(alpha*n) parsed from the instance "
+                        "name (falls back to the spectral-gap estimate), "
+                        "'auto' = spectral-gap estimate, or an integer")
     p.add_argument("--summarize", nargs="+", metavar="JSONL",
                    help="render a summary table from campaign result files "
                         "instead of running")

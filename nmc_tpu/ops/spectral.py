@@ -115,21 +115,85 @@ def batched_descent_host(J: np.ndarray, S: np.ndarray,
     return S
 
 
+def auto_subspace_dim(w: np.ndarray, *, min_top_frac: float = 0.25) -> int:
+    """Estimate the degenerate top-eigenspace dimension of a planted
+    instance from its (ascending) eigenvalue spectrum: the largest gap in
+    the lower part of the spectrum separates the M strongly-negative
+    W'W directions from the near-degenerate null-space bulk.  Keeps at
+    least `min_top_frac` of the spectrum on top."""
+    w = np.asarray(w, dtype=np.float64)
+    n = w.shape[0]
+    gaps = np.diff(w)
+    lo, hi = 0, n - max(2, int(n * min_top_frac))
+    if hi <= lo:
+        return max(2, n // 2)
+    k = int(np.argmax(gaps[lo:hi])) + lo   # gap between w[k] and w[k+1]
+    return n - k - 1                       # bottom group = indices 0..k
+
+
+def difference_map_rounding(V: np.ndarray, *, num_starts: int = 512,
+                            iters: int = 500, beta: float = 0.9,
+                            snapshot_every: int = 20,
+                            seed: int = 0) -> np.ndarray:
+    """Difference-map (Douglas–Rachford-style) search for +-1 vectors
+    near the column span of the orthonormal basis `V` [n, d]:
+
+        PA(x) = V V' x            (projection onto the subspace)
+        PB(y) = sign(y)           (projection onto the hypercube)
+        x    <- x + beta * (PB(2 PA(x) - x) - PA(x))
+
+    When the planted state is only NEAR the subspace (the Wishart
+    float-coupling folders: removing diag(W'W) tilts the null space, so
+    ||P t - t||^2/n ~ 1e-3 and no exact fixed point exists), the iterate
+    orbits the near-intersection; the *pooled snapshots* of sign(PA(x))
+    taken every `snapshot_every` steps pass through the planted basin.
+    Returns the unique pooled +-1 snapshots [C', n] — descend them on the
+    true J and keep the minimum.  Solves the shipped
+    `wishart_planting_N_25_alpha_*` float folders (40/40 measured at
+    C=512, iters=500) where plain eigenvector rounding gets 0/50 and
+    400k-sweep PT/NMC/ICM all stall ~0.3 % above the planted energy."""
+    n = V.shape[0]
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(num_starts, n))
+    outs = []
+    for it in range(iters):
+        PA = (X @ V) @ V.T
+        RB = np.sign(2.0 * PA - X)
+        RB[RB == 0] = 1.0
+        X = X + beta * (RB - PA)
+        if it % snapshot_every == snapshot_every - 1:
+            c = np.sign((X @ V) @ V.T)
+            c[c == 0] = 1.0
+            outs.append(c)
+    if not outs:
+        c = np.sign((X @ V) @ V.T)
+        c[c == 0] = 1.0
+        outs.append(c)
+    return np.unique(np.concatenate(outs, axis=0), axis=0)
+
+
 def spectral_candidates(J: np.ndarray, h: Optional[np.ndarray] = None,
                         *, top_k: Optional[int] = None,
                         num_subspace: int = 0,
                         subspace_dim: Optional[int] = None,
+                        dm_starts: int = 0, dm_iters: int = 500,
+                        dm_beta: float = 0.9, dm_dim: Optional[int] = None,
                         seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Sign-rounded eigenvectors of J (both signs when h breaks the Z2
     symmetry), greedy-descended in one batch, plus `num_subspace` rounded
     random samples from the top-`subspace_dim` eigenspace.  `top_k`
     restricts to the eigenvectors of the top_k LARGEST eigenvalues (the
     planted direction of a Wishart instance lives in the top n-M
-    eigenspace, M = alpha*n); None = all n.  Returns (states [C, n],
-    energies [C]) sorted ascending by energy."""
+    eigenspace, M = alpha*n); None = all n.  `dm_starts > 0` adds the
+    pooled `difference_map_rounding` snapshots from that many random
+    starts in the top-`dm_dim` eigenspace (`dm_dim=None` = the
+    `auto_subspace_dim` spectral-gap estimate) — the fallback that cracks
+    degenerate-eigenspace (float-coupling) planted folders invisible to
+    single-eigenvector rounding.  Returns (states [C, n], energies [C])
+    sorted ascending by energy."""
     J = np.asarray(J, dtype=np.float64)
     n = J.shape[0]
-    _, v = np.linalg.eigh(J)
+    w, v = np.linalg.eigh(J)
     vt = v.T[::-1]                       # rows = eigenvectors, top first
     if top_k is not None:
         vt = vt[:top_k]
@@ -144,6 +208,12 @@ def spectral_candidates(J: np.ndarray, h: Optional[np.ndarray] = None,
     X = np.concatenate(raw, axis=0)
     S = np.sign(X)
     S[S == 0] = 1.0
+    if dm_starts > 0:
+        d = int(dm_dim) if dm_dim else auto_subspace_dim(w)
+        d = max(2, min(d, n - 1))
+        S = np.concatenate([S, difference_map_rounding(
+            v[:, n - d:], num_starts=dm_starts, iters=dm_iters,
+            beta=dm_beta, seed=seed)], axis=0)
     S = batched_descent_host(J, S, h)
     energies = -(0.5 * np.einsum("cn,cn->c", S, S @ J)
                  + (S @ h if h is not None else 0.0))
@@ -162,12 +232,17 @@ class SpectralResult:
 def spectral_search(prob, *, top_k: Optional[int] = None,
                     num_subspace: int = 0,
                     subspace_dim: Optional[int] = None,
+                    dm_starts: int = 0, dm_iters: int = 500,
+                    dm_beta: float = 0.9, dm_dim: Optional[int] = None,
                     polish: int = 0, seed: int = 0) -> SpectralResult:
-    """Full host search on an `IsingProblem`: spectral candidates, then an
-    optional 2-flip polish of the `polish` lowest-energy candidates."""
+    """Full host search on an `IsingProblem`: spectral candidates
+    (+ optional difference-map pool, see `difference_map_rounding`), then
+    an optional 2-flip polish of the `polish` lowest-energy candidates."""
     states, energies = spectral_candidates(
         prob.J, prob.h if np.any(prob.h) else None, top_k=top_k,
-        num_subspace=num_subspace, subspace_dim=subspace_dim, seed=seed)
+        num_subspace=num_subspace, subspace_dim=subspace_dim,
+        dm_starts=dm_starts, dm_iters=dm_iters, dm_beta=dm_beta,
+        dm_dim=dm_dim, seed=seed)
     h = prob.h if np.any(prob.h) else None
     if polish > 0:
         for c in range(min(polish, states.shape[0])):
@@ -227,31 +302,77 @@ def batched_descent_device(J: jax.Array, S: jax.Array,
     return S_out
 
 
+def difference_map_rounding_device(V: jax.Array, *, num_starts: int = 512,
+                                   iters: int = 500, beta: float = 0.9,
+                                   snapshot_every: int = 20,
+                                   key: Optional[jax.Array] = None,
+                                   dtype=jnp.float32) -> jax.Array:
+    """Device analogue of `difference_map_rounding`: a `lax.scan` of
+    snapshot blocks, each an inner scan of `snapshot_every` difference-map
+    steps (two [C, n] x [n, d] matmuls per step — MXU work).  Returns the
+    pooled +-1 snapshots [blocks * C, n] (not uniqued — descend them all
+    with `batched_descent_device`; duplicates are harmless there)."""
+    V = jnp.asarray(V, dtype)
+    n = V.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    X0 = jax.random.normal(key, (num_starts, n), dtype)
+    blocks = max(1, iters // snapshot_every)
+
+    def dm_step(X, _):
+        PA = (X @ V) @ V.T
+        RB = jnp.sign(2.0 * PA - X)
+        RB = jnp.where(RB == 0, 1.0, RB).astype(dtype)
+        return X + beta * (RB - PA), None
+
+    def block(X, _):
+        X, _ = jax.lax.scan(dm_step, X, None, length=snapshot_every)
+        PA = (X @ V) @ V.T
+        snap = jnp.sign(PA) + (PA == 0).astype(dtype)
+        return X, snap
+
+    _, snaps = jax.lax.scan(block, X0, None, length=blocks)
+    return snaps.reshape(blocks * num_starts, n)
+
+
 def spectral_candidates_device(J: jax.Array,
                                h: Optional[jax.Array] = None,
                                *, num_subspace: int = 0,
                                subspace_dim: Optional[int] = None,
+                               dm_starts: int = 0, dm_iters: int = 500,
+                               dm_beta: float = 0.9,
+                               dm_dim: Optional[int] = None,
                                key: Optional[jax.Array] = None,
                                dtype=jnp.float32,
                                ) -> Tuple[jax.Array, jax.Array]:
     """Device analogue of `spectral_candidates`: jnp.linalg.eigh +
-    sign-rounding + `batched_descent_device`.  Returns (states [C, n],
-    energies [C]) sorted ascending.  f32 by default — the descent only
-    needs dE signs; re-verify winners in f64 on the host as the campaign
-    does for MCMC hits."""
+    sign-rounding (+ optional `difference_map_rounding_device` pool) +
+    `batched_descent_device`.  Returns (states [C, n], energies [C])
+    sorted ascending.  `dm_dim` must be given explicitly here (static
+    shape for jit; use `auto_subspace_dim` on host eigenvalues).  f32 by
+    default — the descent only needs dE signs; re-verify winners in f64
+    on the host as the campaign does for MCMC hits."""
     J = jnp.asarray(J, dtype)
     n = J.shape[0]
-    _, v = jnp.linalg.eigh(J)
+    w, v = jnp.linalg.eigh(J)
     cands = [jnp.sign(v.T) + (v.T == 0).astype(dtype)]
     if h is not None and bool(jnp.any(h)):
         cands.append(-cands[0])
+    if key is None:
+        key = jax.random.PRNGKey(0)
     if num_subspace > 0:
-        if key is None:
-            key = jax.random.PRNGKey(0)
+        key, sub = jax.random.split(key)
         dim = subspace_dim if subspace_dim is not None else max(1, n // 2)
         V = v[:, n - dim:]
-        x = jax.random.normal(key, (num_subspace, dim), dtype) @ V.T
+        x = jax.random.normal(sub, (num_subspace, dim), dtype) @ V.T
         cands.append(jnp.sign(x) + (x == 0).astype(dtype))
+    if dm_starts > 0:
+        d = int(dm_dim) if dm_dim else max(1, n // 2)
+        d = max(2, min(d, n - 1))
+        key, sub = jax.random.split(key)
+        cands.append(difference_map_rounding_device(
+            v[:, n - d:], num_starts=dm_starts, iters=dm_iters,
+            beta=dm_beta, key=sub, dtype=dtype))
     S = jnp.concatenate(cands, axis=0)
     S = batched_descent_device(J, S, h)
     hv = jnp.zeros((n,), dtype) if h is None else h.astype(dtype)

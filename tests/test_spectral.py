@@ -163,3 +163,63 @@ def test_ensemble_icm_seeding_subreplica0_only():
     st_r = ens.init_state(jax.random.PRNGKey(0))
     # subreplica 1 untouched
     assert np.array_equal(np.asarray(st.m)[:, 1], np.asarray(st_r.m)[:, 1])
+
+
+# ----------------------------------------------------------------------
+# Difference-map rounding (degenerate-eigenspace / float-coupling folders)
+# ----------------------------------------------------------------------
+
+N25_FOLDER = ("/root/reference/NPT/examples/wishart_small/"
+              "wishart_planting_N_25_alpha_0.20")
+
+
+@pytest.mark.skipif(not os.path.isdir(N25_FOLDER),
+                    reason="reference wishart_small not present")
+def test_difference_map_cracks_float_coupling_folder():
+    """The N=25 float-coupling folders have a DEGENERATE top eigenspace —
+    plain eigenvector rounding scores 0/50 on alpha=0.20 (measured) and
+    400k-sweep PT/NMC/ICM all stall.  Pooled difference-map snapshots in
+    the top-(n-M) eigenspace + descent recover the planted state."""
+    from nmc_tpu.io.loaders import load_wishart, read_gs_energies
+    gs = read_gs_energies(os.path.join(N25_FOLDER, "gs_energies.txt"))
+    for inst in ("inst_1", "inst_10"):
+        name = f"wishart_planting_N_25_alpha_0.20_{inst}.txt"
+        prob = load_wishart(os.path.join(N25_FOLDER, name))
+        g = gs.get(name, gs.get(name.replace(".txt", "")))
+        # plain rounding misses
+        r0 = spectral_search(prob)
+        assert r0.best_energy > g + 1e-6 * abs(g)
+        # difference-map pool hits (d = n - round(0.2 n) = 20)
+        r1 = spectral_search(prob, dm_starts=512, dm_dim=20)
+        assert r1.best_energy <= g + 1e-6 * abs(g) + 1e-9
+
+
+def test_auto_subspace_dim_gap_heuristic():
+    from nmc_tpu.ops.spectral import auto_subspace_dim
+    # synthetic spectrum: 5 strongly-negative, 20 near-degenerate top
+    w = np.concatenate([np.array([-2.0, -1.5, -1.2, -0.9, -0.6]),
+                        np.linspace(0.2, 0.5, 20)])
+    assert auto_subspace_dim(np.sort(w)) == 20
+
+
+def test_difference_map_device_matches_host_semantics():
+    """Device DM pool + device descent finds the same planted optimum the
+    host pool finds on a generated integer-quantized instance."""
+    import jax.numpy as jnp
+    from nmc_tpu.ops.spectral import (batched_descent_device,
+                                      difference_map_rounding,
+                                      difference_map_rounding_device)
+    prob, t, gs_e = wishart_planted(n=24, alpha=0.5, seed=3)
+    J = np.asarray(prob.J, np.float64)
+    _, v = np.linalg.eigh(J)
+    V = v[:, 12:]
+    Sh = difference_map_rounding(V, num_starts=256, iters=400, seed=0)
+    Sh = batched_descent_host(J, Sh)
+    eh = (-0.5 * np.einsum("cn,cn->c", Sh, Sh @ J)).min()
+    Sd = difference_map_rounding_device(jnp.asarray(V, jnp.float32),
+                                        num_starts=256, iters=400)
+    Sd = batched_descent_device(jnp.asarray(J, jnp.float32), Sd)
+    Sd = np.asarray(Sd, np.float64)
+    ed = (-0.5 * np.einsum("cn,cn->c", Sd, Sd @ J)).min()
+    assert eh <= gs_e + 1e-9
+    assert ed <= gs_e + 1e-6 * abs(gs_e)
