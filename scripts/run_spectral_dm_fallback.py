@@ -1,0 +1,115 @@
+"""Difference-map fallback sweep: rerun exactly the instances the plain
+spectral sweep missed (results/campaign/spectral_all/*.jsonl, hit=false)
+with `spectral_search(dm_starts=..., dm_dim=alpha-parsed)` and stream
+same-schema rows to results/campaign/spectral_dm/<folder>.dm.jsonl.
+
+The staged search this models is what `--arm spectral --spectral-dm N`
+does per instance anyway (plain candidates + DM pool in one descent
+batch); running only the misses keeps the 8300-instance refresh cheap.
+
+Usage: python scripts/run_spectral_dm_fallback.py [--starts 512]
+       [--iters 500] [--limit-folders K]
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from nmc_tpu import spectral_search
+from nmc_tpu.campaign import _dm_dim, _num
+from nmc_tpu.evaluation import wishart_folder_instances
+
+SRC = "results/campaign/spectral_all"
+DST = "results/campaign/spectral_dm"
+BASE = "/root/reference/NPT/examples/wishart_small"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--starts", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=500)
+    ap.add_argument("--polish", type=int, default=8)
+    ap.add_argument("--limit-folders", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    os.makedirs(DST, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(SRC, "*.jsonl")))
+    if args.limit_folders:
+        files = files[:args.limit_folders]
+    tot_miss = tot_hit = 0
+    for path in files:
+        rows = [json.loads(l) for l in open(path)]
+        misses = [r for r in rows if not r["hit"]]
+        if not misses:
+            continue
+        folder_name = os.path.basename(path).replace(".spectral.jsonl", "")
+        if folder_name.startswith("cwb_"):
+            folder = os.path.join(
+                "/root/reference/NMC/examples/contrived_wishart_backbone",
+                folder_name[len("cwb_"):])
+        else:
+            folder = os.path.join(BASE, folder_name)
+        if not os.path.isdir(folder):
+            print(f"SKIP {folder_name}: folder not found", flush=True)
+            continue
+        out = os.path.join(DST, folder_name + ".dm.jsonl")
+        done = set()
+        if os.path.exists(out):
+            done = {json.loads(l)["name"] for l in open(out)}
+        want = {r["name"] for r in misses} - done
+        if not want:
+            tot_miss += len(misses)
+            tot_hit += sum(1 for l in open(out)
+                           if json.loads(l)["hit"])
+            continue
+        by_name = {}
+        for name, prob, gs_raw in wishart_folder_instances(folder):
+            if name in want:
+                by_name[name] = (prob, gs_raw)
+        f_hits = 0
+        for name in sorted(want):
+            prob, gs_raw = by_name[name]
+            t0 = time.perf_counter()
+            r = spectral_search(prob, dm_starts=args.starts,
+                                dm_iters=args.iters,
+                                dm_dim=_dm_dim("alpha", name, prob.n),
+                                polish=args.polish)
+            wall = time.perf_counter() - t0
+            hit = bool(gs_raw is not None and not np.isnan(gs_raw)
+                       and r.best_energy <= gs_raw + max(
+                           1e-6 * abs(gs_raw), 1e-9))
+            f_hits += hit
+            rec = dict(name=name, n=prob.n, gs_raw=_num(gs_raw),
+                       found_raw=_num(r.best_energy),
+                       residual=_num(r.best_energy - gs_raw),
+                       hit=hit,
+                       hit_seconds=wall if hit else None,
+                       hit_sweeps=0 if hit else None,
+                       rounds_completed=0, rounds_total=0,
+                       per_swap=0, wall_seconds=wall,
+                       meta=dict(arm="spectral", sweeps=0,
+                                 dm=args.starts, dm_iters=args.iters,
+                                 dm_dim="alpha", polish=args.polish,
+                                 stage="dm-fallback"))
+            with open(out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        tot_miss += len(misses)
+        tot_hit += f_hits + (len(misses) - len(want))  # earlier lines
+        print(f"{folder_name}: {f_hits}/{len(want)} DM rescues "
+              f"(plain had {len(rows)-len(misses)}/{len(rows)})",
+              flush=True)
+    print(f"TOTAL: rescued {tot_hit} of {tot_miss} plain-spectral misses",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
