@@ -15,6 +15,7 @@ Custom folders: --kind chimera --folder /path/to/instances
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import re
@@ -160,6 +161,28 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     from .parallel.ensemble_nmc import _pad_problem
 
     names = [name for name, _, _ in pending]
+    orig_n = [prob.n for _, prob, _ in pending]
+    consts = np.zeros(len(pending))
+    if getattr(args, "presolve", False):
+        # exact leaf-peeling reduction (ops/presolve.py): every arm then
+        # runs on the 2-core; hit targets shift by the folded constant and
+        # residuals are invariant, so records stay in original raw units
+        from .core.problem import IsingProblem
+        from .ops.presolve import peel_leaves
+        reduced = []
+        for k, (name, prob, gs_raw) in enumerate(pending):
+            ps = peel_leaves(np.asarray(prob.J), np.asarray(prob.h))
+            core = IsingProblem(ps.J_core, ps.h_core, name=name + ":core")
+            consts[k] = ps.constant
+            reduced.append((name, core,
+                            None if gs_raw is None else gs_raw - ps.constant))
+        pending = reduced
+        meta = dict(meta, presolve="peel",
+                    core_n=[p.n for _, p, _ in pending])
+        print(f"presolve: peeled to cores "
+              f"{min(p.n for _, p, _ in pending)}.."
+              f"{max(p.n for _, p, _ in pending)} of n={max(orig_n)}",
+              flush=True)
     # pad to the family max BEFORE normalization so the host-side f64
     # verification sees the same shapes as the engine (padded spins are
     # free: zero couplings and field, zero energy contribution)
@@ -287,9 +310,9 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
             for i, name in enumerate(names):
                 hit = name in hit_at
                 f.write(json.dumps(dict(
-                    name=name, n=probs[i].n,
-                    gs_raw=_num(gs_norm[i] * factors[i]),
-                    found_raw=_num(best64[i] * factors[i]),
+                    name=name, n=orig_n[i],
+                    gs_raw=_num(gs_norm[i] * factors[i] + consts[i]),
+                    found_raw=_num(best64[i] * factors[i] + consts[i]),
                     residual=_num((best64[i] - gs_norm[i]) * factors[i]),
                     hit=hit,
                     hit_seconds=hit_at[name][1] if hit else None,
@@ -307,9 +330,9 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     for i, name in enumerate(names):
         hit = name in hit_at
         rec = dict(
-            name=name, n=probs[i].n,
-            gs_raw=_num(gs_norm[i] * factors[i]),
-            found_raw=_num(best64[i] * factors[i]),
+            name=name, n=orig_n[i],
+            gs_raw=_num(gs_norm[i] * factors[i] + consts[i]),
+            found_raw=_num(best64[i] * factors[i] + consts[i]),
             residual=_num((best64[i] - gs_norm[i]) * factors[i]),
             hit=hit,
             hit_seconds=hit_at[name][1] if hit else None,
@@ -380,6 +403,13 @@ def run_arm(args):
             if name in done:
                 continue
             t0 = time.perf_counter()
+            ps = None
+            if args.presolve:
+                from .core.problem import IsingProblem
+                from .ops.presolve import peel_leaves
+                ps = peel_leaves(np.asarray(prob.J), np.asarray(prob.h))
+                prob = IsingProblem(ps.J_core, ps.h_core,
+                                    name=name + ":core")
             r = spectral_search(
                 prob, top_k=args.init_top or None,
                 num_subspace=args.init_subspace,
@@ -387,6 +417,10 @@ def run_arm(args):
                 dm_iters=args.spectral_dm_iters,
                 dm_dim=_dm_dim(args.dm_dim, name, prob.n),
                 polish=args.spectral_polish, seed=args.seed)
+            if ps is not None:
+                # shift back to original raw units (exact reduction)
+                r = dataclasses.replace(
+                    r, best_energy=r.best_energy + ps.constant)
             wall = time.perf_counter() - t0
             hit = (gs_raw is not None and not np.isnan(gs_raw)
                    and r.best_energy <= gs_raw + max(1e-6 * abs(gs_raw),
@@ -513,6 +547,11 @@ def add_campaign_args(p):
                         "folders single-eigenvector rounding misses")
     p.add_argument("--spectral-dm-iters", type=int, default=500,
                    help="difference-map iterations per start")
+    p.add_argument("--presolve", action="store_true",
+                   help="exact leaf-peeling reduction before any arm "
+                        "(ops/presolve.py): tree-decorated instances run "
+                        "on their 2-core; records stay in original raw "
+                        "units")
     p.add_argument("--dm-dim", default="alpha",
                    help="difference-map subspace dimension: 'alpha' = "
                         "n - round(alpha*n) parsed from the instance "

