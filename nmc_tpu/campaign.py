@@ -261,11 +261,20 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
             spectral_candidates(p.J, p.h if np.any(p.h) else None,
                                 top_k=args.init_top or None,
                                 num_subspace=args.init_subspace,
+                                dm_starts=args.spectral_dm,
+                                dm_iters=args.spectral_dm_iters,
+                                # alpha-parsed d is meaningless on a
+                                # peeled/padded core: use the gap estimate
+                                dm_dim=(None if getattr(args, "presolve",
+                                                        False)
+                                        else _dm_dim(args.dm_dim,
+                                                     names[k], p.n)),
                                 seed=args.seed)[0][:C]
-            for p in probs])
+            for k, p in enumerate(probs)])
         meta = dict(meta, init="spectral", init_chains=C,
                     init_top=args.init_top,
-                    init_subspace=args.init_subspace)
+                    init_subspace=args.init_subspace,
+                    init_dm=args.spectral_dm)
         print(f"spectral seeding: {C} chains x {I} instances in "
               f"{time.perf_counter() - t_s:.1f}s", flush=True)
 
