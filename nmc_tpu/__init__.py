@@ -29,6 +29,7 @@ from .ops.clusters import (NeighborPlanes, build_neighbor_planes,
                            houdayer_move_device, houdayer_move_matmul,
                            houdayer_move_sparse)
 from .ops.lbp_sparse import EdgeGraph, sparse_lbp, sparse_lbp_convexified
+from .ops.presolve import Presolve, peel_leaves
 from .ops.spectral import (SpectralResult, auto_subspace_dim,
                            difference_map_rounding,
                            difference_map_rounding_device,
@@ -51,6 +52,7 @@ __all__ = [
     "find_clusters", "flatten_clusters", "cluster_mask",
     "disagreement_clusters", "houdayer_move_device",
     "houdayer_move_sparse", "houdayer_move_matmul",
+    "Presolve", "peel_leaves",
     "SpectralResult", "spectral_search", "spectral_candidates",
     "spectral_candidates_device", "auto_subspace_dim",
     "difference_map_rounding", "difference_map_rounding_device",
