@@ -614,6 +614,9 @@ def add_campaign_args(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--trace", action="store_true",
                    help="append per-chunk residual curves to <out>.trace")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (jax.config, not env: a "
+                        "preinstalled TPU plugin ignores JAX_PLATFORMS)")
 
 
 def collect_best(paths, out_path):
@@ -640,6 +643,9 @@ def collect_best(paths, out_path):
 
 
 def run_campaign(args):
+    if getattr(args, "cpu", False):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.collect_best:
         if not args.out:
             raise SystemExit("--collect-best requires --out")
