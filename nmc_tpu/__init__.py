@@ -35,6 +35,7 @@ from .ops.spectral import (SpectralResult, auto_subspace_dim,
                            difference_map_rounding_device,
                            spectral_candidates,
                            spectral_candidates_device, spectral_search)
+from .portfolio import SolveResult, SolveStage, portfolio_solve
 
 __version__ = "0.1.0"
 
@@ -53,6 +54,7 @@ __all__ = [
     "disagreement_clusters", "houdayer_move_device",
     "houdayer_move_sparse", "houdayer_move_matmul",
     "Presolve", "peel_leaves",
+    "SolveResult", "SolveStage", "portfolio_solve",
     "SpectralResult", "spectral_search", "spectral_candidates",
     "spectral_candidates_device", "auto_subspace_dim",
     "difference_map_rounding", "difference_map_rounding_device",

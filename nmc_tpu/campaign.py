@@ -163,6 +163,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     names = [name for name, _, _ in pending]
     orig_n = [prob.n for _, prob, _ in pending]
     consts = np.zeros(len(pending))
+    pss = [None] * len(pending)   # Presolve per instance (back-substitution)
     if getattr(args, "presolve", False):
         # exact leaf-peeling reduction (ops/presolve.py): every arm then
         # runs on the 2-core; hit targets shift by the folded constant and
@@ -174,6 +175,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
             ps = peel_leaves(np.asarray(prob.J), np.asarray(prob.h))
             core = IsingProblem(ps.J_core, ps.h_core, name=name + ":core")
             consts[k] = ps.constant
+            pss[k] = ps
             reduced.append((name, core,
                             None if gs_raw is None else gs_raw - ps.constant))
         pending = reduced
@@ -186,6 +188,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     # pad to the family max BEFORE normalization so the host-side f64
     # verification sees the same shapes as the engine (padded spins are
     # free: zero couplings and field, zero energy contribution)
+    core_n = [prob.n for _, prob, _ in pending]
     n_max = max(prob.n for _, prob, _ in pending)
     probs, factors, gs_norm, atol_norm = [], [], [], []
     for _, prob, gs_raw in pending:
@@ -283,6 +286,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     rounds_done = 0
     hit_at = {}           # name -> (rounds, seconds)
     best64 = np.full(I, np.inf)
+    best_m = [None] * I   # normalized padded-core state at best64 (f64)
     trace_path = out_path + ".trace" if getattr(args, "trace", False) else None
     while rounds_done < total_rounds and len(hit_at) < I:
         k = min(args.chunk_rounds, total_rounds - rounds_done)
@@ -293,7 +297,10 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
         for i in range(I):
             if names[i] in hit_at:
                 continue
-            best64[i] = min(best64[i], float(probs[i].energy(mb[i])))
+            e_i = float(probs[i].energy(mb[i]))
+            if e_i < best64[i]:
+                best64[i] = e_i
+                best_m[i] = np.asarray(mb[i], np.float64)
             if best64[i] <= gs_norm[i] + atol_norm[i]:
                 hit_at[names[i]] = (rounds_done, now)
                 print(f"  hit {names[i]} at round {rounds_done} "
@@ -336,6 +343,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
         os.replace(tmp, out_path + ".partial")
     wall = time.perf_counter() - t0
 
+    results = []
     for i, name in enumerate(names):
         hit = name in hit_at
         rec = dict(
@@ -356,8 +364,17 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
                    else f"{rec['residual']:.4f}")
         print(f"{name}: hit={hit} residual={res_str} "
               f"rounds={rounds_done}/{total_rounds}", flush=True)
+        # full-space best state: unpad to the (possibly peeled) core,
+        # then back-substitute the peeled leaves (exact reduction)
+        state = None
+        if best_m[i] is not None:
+            s_core = np.where(best_m[i][:core_n[i]] >= 0, 1.0, -1.0)
+            state = (pss[i].back_substitute(s_core)
+                     if pss[i] is not None else s_core)
+        results.append(dict(rec, state=state))
     if os.path.exists(out_path + ".partial"):
         os.remove(out_path + ".partial")   # superseded by final records
+    return results
 
 
 def run_arm(args):

@@ -211,6 +211,79 @@ def cmd_evaluate(args):
     print(report.to_json())
 
 
+def cmd_solve(args):
+    import os
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from . import evaluation as ev
+    from .io import loaders
+    from .portfolio import portfolio_solve
+
+    path = os.path.abspath(args.path)
+    folder, base = os.path.split(path)
+    kind = args.kind
+    if kind == "auto":
+        # infer the dialect from the sibling ground-truth files
+        if os.path.exists(os.path.join(folder, "gs_energies.txt")):
+            kind = "wishart"
+        elif os.path.exists(os.path.join(folder, "groundstates_otn2d.txt")):
+            kind = "chimera"
+        elif os.path.exists(path.replace(".txt", "_sol.txt")):
+            kind = "dcl"
+        else:
+            kind = "wishart"
+
+    prob, target = None, args.target
+    if target is None:
+        # pick the instance out of the folder generator so the target
+        # normalization bookkeeping matches the campaign's exactly
+        gens = {"wishart": ev.wishart_folder_instances,
+                "chimera": ev.chimera_folder_instances,
+                "dcl": ev.dcl_folder_instances,
+                "contrived": ev.contrived_folder_instances}
+        try:
+            for nm, p_, gs in gens[kind](folder):
+                if nm == base:
+                    prob, target = p_, gs
+                    break
+        except (FileNotFoundError, OSError):
+            pass
+    if prob is None:
+        fn = {"wishart": loaders.load_wishart, "dcl": loaders.load_dcl,
+              "chimera": loaders.load_chimera,
+              "contrived": loaders.load_contrived_tree}[kind]
+        prob = fn(path)
+
+    res = portfolio_solve(
+        prob, target, name=base, arm=args.arm, sweeps=args.sweeps,
+        seed=args.seed, presolve=not args.no_presolve,
+        spectral=not args.no_spectral, dm_starts=args.dm_starts,
+        dm_iters=args.dm_iters, coloring=kind in ("chimera", "dcl"))
+
+    def _j(x):   # strict JSON: non-finite -> null
+        return (None if x is None
+                or (isinstance(x, float) and not np.isfinite(x)) else x)
+
+    rec = dict(
+        name=res.name, n=res.n, kind=kind, energy_raw=_j(res.energy_raw),
+        target_raw=_j(res.target_raw), hit=res.hit,
+        wall_seconds=round(res.wall_seconds, 3),
+        stages=[dict(stage=s.stage, energy_raw=_j(s.energy_raw),
+                     wall_seconds=round(s.wall_seconds, 3), hit=s.hit,
+                     **s.detail) for s in res.stages])
+    line = json.dumps(rec, default=lambda o: None)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+    if args.save_state:
+        np.savetxt(args.save_state, res.state, fmt="%+d")
+    return 0 if (res.hit or res.target_raw is None
+                 or not np.isfinite(res.target_raw)) else 1
+
+
 def cmd_generate(args):
     from .io import generators, writers
 
@@ -360,6 +433,33 @@ def main(argv=None):
     from .campaign import add_campaign_args, run_campaign
     add_campaign_args(p)
     p.set_defaults(fn=run_campaign)
+
+    p = sub.add_parser(
+        "solve",
+        help="one-command staged portfolio solve of a single instance "
+             "(presolve -> spectral/difference-map -> seeded MCMC); "
+             "ground-truth target auto-detected from sibling files")
+    p.add_argument("path", help="instance file (edge-list dialects)")
+    p.add_argument("--kind", default="auto",
+                   choices=["auto", "wishart", "chimera", "dcl",
+                            "contrived"])
+    p.add_argument("--target", type=float, default=None,
+                   help="raw target energy (default: sibling gs files)")
+    p.add_argument("--arm", default="icm",
+                   choices=["icm", "nmc", "pt", "hybrid"],
+                   help="MCMC fallback arm")
+    p.add_argument("--sweeps", type=int, default=200_000,
+                   help="MCMC budget (0 = spectral stages only)")
+    p.add_argument("--dm-starts", type=int, default=2048)
+    p.add_argument("--dm-iters", type=int, default=3000)
+    p.add_argument("--no-presolve", action="store_true")
+    p.add_argument("--no-spectral", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-state", help="write the best +-1 state here")
+    p.add_argument("--out", help="append the JSON record here")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    p.set_defaults(fn=cmd_solve)
 
     p = sub.add_parser("generate", help="write benchmark instances")
     p.add_argument("--kind", required=True,
