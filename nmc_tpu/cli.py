@@ -256,8 +256,15 @@ def cmd_solve(args):
               "contrived": loaders.load_contrived_tree}[kind]
         prob = fn(path)
 
+    arm = args.arm
+    if arm == "auto":
+        # measured family preferences (docs/BENCHMARKS.md campaign
+        # tables): ICM dominates chimera droplets; the ICM+NMC hybrid is
+        # the TTS winner on DCL; ICM + spectral seeding wins wishart-type
+        arm = {"chimera": "icm", "dcl": "hybrid"}.get(kind, "icm")
+
     res = portfolio_solve(
-        prob, target, name=base, arm=args.arm, sweeps=args.sweeps,
+        prob, target, name=base, arm=arm, sweeps=args.sweeps,
         seed=args.seed, presolve=not args.no_presolve,
         spectral=not args.no_spectral, dm_starts=args.dm_starts,
         dm_iters=args.dm_iters, coloring=kind in ("chimera", "dcl"))
@@ -445,9 +452,10 @@ def main(argv=None):
                             "contrived"])
     p.add_argument("--target", type=float, default=None,
                    help="raw target energy (default: sibling gs files)")
-    p.add_argument("--arm", default="icm",
-                   choices=["icm", "nmc", "pt", "hybrid"],
-                   help="MCMC fallback arm")
+    p.add_argument("--arm", default="auto",
+                   choices=["auto", "icm", "nmc", "pt", "hybrid"],
+                   help="MCMC fallback arm (auto = measured family "
+                        "preference: chimera->icm, dcl->hybrid, else icm)")
     p.add_argument("--sweeps", type=int, default=200_000,
                    help="MCMC budget (0 = spectral stages only)")
     p.add_argument("--dm-starts", type=int, default=2048)
