@@ -263,10 +263,12 @@ def cmd_solve(args):
         # the TTS winner on DCL; ICM + spectral seeding wins wishart-type
         arm = {"chimera": "icm", "dcl": "hybrid"}.get(kind, "icm")
 
+    spectral = ("auto" if not (args.no_spectral or args.force_spectral)
+                else bool(args.force_spectral))
     res = portfolio_solve(
         prob, target, name=base, arm=arm, sweeps=args.sweeps,
         seed=args.seed, presolve=not args.no_presolve,
-        spectral=not args.no_spectral, dm_starts=args.dm_starts,
+        spectral=spectral, dm_starts=args.dm_starts,
         dm_iters=args.dm_iters, coloring=kind in ("chimera", "dcl"))
 
     def _j(x):   # strict JSON: non-finite -> null
@@ -461,7 +463,11 @@ def main(argv=None):
     p.add_argument("--dm-starts", type=int, default=2048)
     p.add_argument("--dm-iters", type=int, default=3000)
     p.add_argument("--no-presolve", action="store_true")
-    p.add_argument("--no-spectral", action="store_true")
+    p.add_argument("--no-spectral", action="store_true",
+                   help="skip the spectral stage (default: auto — dense "
+                        "cores only)")
+    p.add_argument("--force-spectral", action="store_true",
+                   help="run the spectral stage even on sparse graphs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-state", help="write the best +-1 state here")
     p.add_argument("--out", help="append the JSON record here")

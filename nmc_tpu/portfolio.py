@@ -88,7 +88,7 @@ def _mcmc_args(arm, sweeps, seed, presolve, dm_starts, dm_iters,
 def portfolio_solve(prob, target_raw: Optional[float] = None, *,
                     name: str = "instance", arm: str = "icm",
                     sweeps: int = 200_000, seed: int = 0,
-                    presolve: bool = True, spectral: bool = True,
+                    presolve: bool = True, spectral="auto",
                     dm_starts: int = 2048, dm_iters: int = 3000,
                     spectral_polish: int = 8, max_spectral_n: int = 4096,
                     coloring: bool = False, out_jsonl: Optional[str] = None,
@@ -100,7 +100,10 @@ def portfolio_solve(prob, target_raw: Optional[float] = None, *,
     without it the full `sweeps` budget is spent and the best found is
     returned. `arm`: MCMC fallback arm (icm | nmc | pt | hybrid).
     `coloring`: greedy-color the sweep (bounded-degree graphs: chimera,
-    DCL). `sweeps=0` skips the MCMC stage.
+    DCL). `sweeps=0` skips the MCMC stage. `spectral`: True | False |
+    "auto" — auto runs the spectral stage only on dense cores (max
+    degree > 16): spectral visibility is a dense-low-rank (Wishart-type)
+    phenomenon, and the stage is pure overhead on chimera/DCL graphs.
     """
     t_all = time.perf_counter()
     stages: List[SolveStage] = []
@@ -122,6 +125,9 @@ def portfolio_solve(prob, target_raw: Optional[float] = None, *,
             "presolve", None, time.perf_counter() - t0, False,
             dict(n=prob.n, core_n=core.n, constant=ps.constant)))
 
+    if spectral == "auto":
+        max_deg = int((np.asarray(core.J) != 0).sum(axis=1).max())
+        spectral = max_deg > 16
     if spectral and core.n <= max_spectral_n:
         from .ops.spectral import spectral_search
         t0 = time.perf_counter()

@@ -117,3 +117,22 @@ def test_solve_cli_auto_target(tmp_path):
     from nmc_tpu.evaluation import wishart_folder_instances
     name, prob, gs = next(iter(wishart_folder_instances(WISHART, limit=1)))
     assert abs(float(prob.energy(s)) - rec["energy_raw"]) < 1e-9
+
+
+def test_portfolio_spectral_auto_gates_sparse():
+    """spectral='auto' skips the eigh/DM stage on bounded-degree graphs
+    (spectral visibility is a dense-low-rank phenomenon) and keeps it on
+    dense cores."""
+    from nmc_tpu import portfolio_solve
+    from nmc_tpu.io.generators import ea_2d, wishart_planted
+
+    sparse = ea_2d(5, seed=0)                     # max degree 4
+    res = portfolio_solve(sparse, None, sweeps=0)
+    assert [s.stage for s in res.stages] == ["presolve"]
+    res = portfolio_solve(sparse, None, sweeps=0, spectral=True,
+                          dm_starts=16, dm_iters=50)
+    assert "spectral" in [s.stage for s in res.stages]
+
+    dense, _, _ = wishart_planted(20, 0.5, seed=0)   # max degree 19
+    res = portfolio_solve(dense, None, sweeps=0, dm_starts=16, dm_iters=50)
+    assert "spectral" in [s.stage for s in res.stages]
