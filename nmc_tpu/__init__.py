@@ -35,6 +35,8 @@ from .ops.spectral import (SpectralResult, auto_subspace_dim,
                            difference_map_rounding_device,
                            spectral_candidates,
                            spectral_candidates_device, spectral_search)
+from .exact import (exact_energy_bound, solve_exact_device,
+                    solve_exact_host, solve_exact_pallas)
 from .portfolio import SolveResult, SolveStage, portfolio_solve
 
 __version__ = "0.1.0"
@@ -55,6 +57,8 @@ __all__ = [
     "houdayer_move_sparse", "houdayer_move_matmul",
     "Presolve", "peel_leaves",
     "SolveResult", "SolveStage", "portfolio_solve",
+    "solve_exact_host", "solve_exact_device", "solve_exact_pallas",
+    "exact_energy_bound",
     "SpectralResult", "spectral_search", "spectral_candidates",
     "spectral_candidates_device", "auto_subspace_dim",
     "difference_map_rounding", "difference_map_rounding_device",

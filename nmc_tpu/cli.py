@@ -211,21 +211,18 @@ def cmd_evaluate(args):
     print(report.to_json())
 
 
-def cmd_solve(args):
+def _detect_instance(path, kind, target):
+    """(prob, target, kind, base): dialect inferred from sibling
+    ground-truth files, target pulled through the evaluation generators
+    so normalization bookkeeping matches the campaign's exactly."""
     import os
 
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
     from . import evaluation as ev
     from .io import loaders
-    from .portfolio import portfolio_solve
 
-    path = os.path.abspath(args.path)
+    path = os.path.abspath(path)
     folder, base = os.path.split(path)
-    kind = args.kind
     if kind == "auto":
-        # infer the dialect from the sibling ground-truth files
         if os.path.exists(os.path.join(folder, "gs_energies.txt")):
             kind = "wishart"
         elif os.path.exists(os.path.join(folder, "groundstates_otn2d.txt")):
@@ -234,11 +231,8 @@ def cmd_solve(args):
             kind = "dcl"
         else:
             kind = "wishart"
-
-    prob, target = None, args.target
+    prob = None
     if target is None:
-        # pick the instance out of the folder generator so the target
-        # normalization bookkeeping matches the campaign's exactly
         gens = {"wishart": ev.wishart_folder_instances,
                 "chimera": ev.chimera_folder_instances,
                 "dcl": ev.dcl_folder_instances,
@@ -255,6 +249,17 @@ def cmd_solve(args):
               "chimera": loaders.load_chimera,
               "contrived": loaders.load_contrived_tree}[kind]
         prob = fn(path)
+    return prob, target, kind, base
+
+
+def cmd_solve(args):
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from .portfolio import portfolio_solve
+
+    prob, target, kind, base = _detect_instance(args.path, args.kind,
+                                                args.target)
 
     arm = args.arm
     if arm == "auto":
@@ -291,6 +296,58 @@ def cmd_solve(args):
         np.savetxt(args.save_state, res.state, fmt="%+d")
     return 0 if (res.hit or res.target_raw is None
                  or not np.isfinite(res.target_raw)) else 1
+
+
+def cmd_exact(args):
+    """Exact ground state (meet-in-the-middle on the MXU) — the
+    capability the reference lacks: it ships ground truths, this derives
+    them. n <= ~50 on TPU (Pallas tier), ~40 XLA tier, ~30 host."""
+    import time
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from .exact import (solve_exact_device, solve_exact_host,
+                        solve_exact_pallas)
+
+    prob, target, kind, base = _detect_instance(args.path, args.kind,
+                                                None)
+    backend = args.backend
+    if backend == "auto":
+        if prob.n <= 28:
+            backend = "host"
+        elif prob.n <= 40:
+            backend = "device"
+        else:
+            backend = "pallas"
+    t0 = time.perf_counter()
+    if backend == "host":
+        e, s = solve_exact_host(prob)
+    elif backend == "device":
+        e, s = solve_exact_device(prob, block_a=args.block_a,
+                                  block_b=args.block_b)
+    else:
+        e, s = solve_exact_pallas(prob, block_a=args.block_a,
+                                  block_b=args.block_b,
+                                  interpret=args.interpret)
+    wall = time.perf_counter() - t0
+    rec = dict(name=base, n=prob.n, kind=kind, backend=backend,
+               energy_raw=e, wall_seconds=round(wall, 3),
+               shipped_target=target if (target is None
+                                         or np.isfinite(target)) else None,
+               matches_shipped=(None if target is None
+                                or not np.isfinite(target)
+                                else bool(abs(e - target)
+                                          <= max(1e-6 * abs(target),
+                                                 1e-9))))
+    line = json.dumps(rec)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+    if args.save_state:
+        np.savetxt(args.save_state, s, fmt="%+d")
+    return 0
 
 
 def cmd_generate(args):
@@ -474,6 +531,26 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser(
+        "exact",
+        help="EXACT ground state by meet-in-the-middle enumeration on "
+             "the MXU (n <= ~50 on one chip) — independently verifies "
+             "shipped ground truths")
+    p.add_argument("path", help="instance file (edge-list dialects)")
+    p.add_argument("--kind", default="auto",
+                   choices=["auto", "wishart", "chimera", "dcl",
+                            "contrived"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "host", "device", "pallas"])
+    p.add_argument("--block-a", type=int, default=1024)
+    p.add_argument("--block-b", type=int, default=8192)
+    p.add_argument("--interpret", action="store_true",
+                   help="interpret-mode Pallas (debugging)")
+    p.add_argument("--save-state", help="write the ground state here")
+    p.add_argument("--out", help="append the JSON record here")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(fn=cmd_exact)
 
     p = sub.add_parser("generate", help="write benchmark instances")
     p.add_argument("--kind", required=True,

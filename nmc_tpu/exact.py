@@ -1,0 +1,299 @@
+"""Exact ground states by meet-in-the-middle enumeration on the MXU.
+
+Split the spins into halves A|B. With SA = all +-1 assignments of A
+(2^a rows) and SB of B (2^b rows),
+
+    E(sA, sB) = EA(sA) + EB(sB) + sA . J_AB . sB
+
+so the full 2^n energy table is a rank-(a) matmul `SA @ J_AB @ SB^T`
+plus broadcast row/column energies — exactly the shape the TPU's
+systolic array wants. The minimum over the table is the EXACT ground
+state; no sampling, no tolerance. The reference has no exact solver —
+its quality anchors are externally shipped ground truths; this module
+lets the framework *verify* (and extend) those truths independently up
+to n≈50 on one chip (2^49 energies ≈ 5e16 MACs ≈ minutes on a v5e).
+
+Global spin-flip symmetry (E(-s) = E(s) for h = 0) pins the first A
+spin to +1, halving the table.
+
+Exactness in f32: every energy is an integer-weighted +-1 sum bounded
+by `sum|J| + sum|h|`; if that bound is < 2^24, f32 arithmetic is exact.
+Matmuls run at `Precision.HIGHEST` (the MXU's default f32 path does
+bf16 passes that corrupt integers > 256 — same lesson as the matmul
+Houdayer label propagation, ops/clusters.py).
+
+Three tiers:
+- `solve_exact_host`  — numpy, n <= ~34 (wall grows 2x per spin).
+- `solve_exact_device`— jit + lax.scan over A-blocks x B-tiles; the
+  energy table tiles stream through HBM (fine to n≈40).
+- `solve_exact_pallas`— fused Pallas kernel: the table tile never
+  leaves VMEM, min/argmin reduced in the matmul epilogue (n to ~50).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["solve_exact_host", "solve_exact_device", "solve_exact_pallas",
+           "exact_energy_bound", "signs_table"]
+
+
+def exact_energy_bound(J, h=None) -> float:
+    """Upper bound on |any partial energy sum| — f32 is exact below 2^24."""
+    b = 0.5 * float(np.abs(J).sum())
+    if h is not None:
+        b += float(np.abs(h).sum())
+    return b
+
+
+def signs_table(k: int, offset: int = 0, count: Optional[int] = None,
+                dtype=np.float32) -> np.ndarray:
+    """[count, k] +-1 rows: row r encodes integer (offset + r), bit j ->
+    spin j (LSB first; bit set -> -1)."""
+    if count is None:
+        count = 1 << k
+    r = np.arange(offset, offset + count, dtype=np.int64)
+    bits = (r[:, None] >> np.arange(k)[None, :]) & 1
+    return (1.0 - 2.0 * bits).astype(dtype)
+
+
+def _split(J, h):
+    n = J.shape[0]
+    a = n // 2            # A: first a spins (streamed), B: resident
+    return a, n - a
+
+
+def _half_energies(Jhh, hh, S):
+    """E_half(s) = -1/2 s.Jhh.s - hh.s for every row of S."""
+    return (-0.5 * np.einsum("ri,ij,rj->r", S, Jhh, S) - S @ hh)
+
+
+def solve_exact_host(prob, *, symmetry: Optional[bool] = None,
+                     block: int = 4096) -> Tuple[float, np.ndarray]:
+    """Exact ground state by blocked meet-in-the-middle on the host.
+
+    Returns (energy, state) in raw units; energy is the true global
+    minimum of E(s) = -1/2 s.J.s - h.s over {+-1}^n.
+    """
+    J = np.asarray(prob.J, np.float64)
+    h = np.asarray(prob.h, np.float64)
+    n = J.shape[0]
+    if n > 34:
+        raise ValueError(f"solve_exact_host is O(2^n): n={n} > 34 "
+                         "(use solve_exact_device on TPU)")
+    a, b = _split(J, h)
+    if symmetry is None:
+        symmetry = not np.any(h)
+    JA, JB, JX = J[:a, :a], J[a:, a:], J[a:, :a]   # JX: [b, a]
+    hA, hB = h[:a], h[a:]
+
+    SB = signs_table(b, dtype=np.float64)
+    EB = _half_energies(JB, hB, SB)
+    CB = SB @ JX                                    # [2^b, a]
+
+    total_a = 1 << (a - 1 if symmetry else a)       # s_0 pinned to +1
+    best = (np.inf, 0, 0)
+    for off in range(0, total_a, block):
+        cnt = min(block, total_a - off)
+        # pinned bit: enumerate the remaining a-1 bits, prepend +1
+        if symmetry:
+            SA = np.concatenate(
+                [np.ones((cnt, 1)), signs_table(a - 1, off, cnt,
+                                                np.float64)], axis=1)
+        else:
+            SA = signs_table(a, off, cnt, np.float64)
+        EA = _half_energies(JA, hA, SA)
+        # E table tile: [cnt, 2^b]; cross term = -SA . JX^T . SB^T
+        T = EA[:, None] + EB[None, :] - SA @ CB.T
+        i = np.unravel_index(np.argmin(T), T.shape)
+        if T[i] < best[0]:
+            best = (float(T[i]), off + int(i[0]), int(i[1]))
+    e, ra, rb = best
+    if symmetry:
+        sA = np.concatenate([[1.0], signs_table(a - 1, ra, 1,
+                                                np.float64)[0]])
+    else:
+        sA = signs_table(a, ra, 1, np.float64)[0]
+    sB = signs_table(b, rb, 1, np.float64)[0]
+    s = np.concatenate([sA, sB])
+    assert abs(float(prob.energy(s)) - e) < 1e-6 * max(1.0, abs(e))
+    return e, s
+
+
+def _b_tables(J, h, a, b, block=1 << 18):
+    """EB [2^b] and CBT [a, 2^b] as f32 (exact: integer values < 2^24),
+    built in blocks so the f64 sign tables never exceed `block` rows."""
+    JB, JX, hB = J[a:, a:], J[a:, :a], h[a:]
+    EB = np.empty(1 << b, np.float32)
+    CBT = np.empty((a, 1 << b), np.float32)
+    for off in range(0, 1 << b, block):
+        cnt = min(block, (1 << b) - off)
+        SB = signs_table(b, off, cnt, np.float64)
+        EB[off:off + cnt] = _half_energies(JB, hB, SB)
+        CBT[:, off:off + cnt] = (SB @ JX).T
+    return EB, CBT
+
+
+def solve_exact_device(prob, *, symmetry: Optional[bool] = None,
+                       block_a: int = 1024, block_b: int = 1 << 15,
+                       verify: bool = True) -> Tuple[float, np.ndarray]:
+    """Exact ground state on the accelerator: the B-side tables (EB,
+    CBT = SB.JX^T) live in HBM; a double lax.scan streams (A-block x
+    B-tile) energy tiles, each one Precision.HIGHEST matmul with an
+    immediate min/argmin epilogue.
+
+    Practical to n≈40 on a v5e (each tile makes an HBM round trip in
+    this XLA variant; the Pallas kernel keeps it in VMEM). f32
+    exactness is guarded via `exact_energy_bound` < 2^24. Indices are
+    i32 (fine to n=64: each half-table index < 2^31).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    J = np.asarray(prob.J, np.float64)
+    h = np.asarray(prob.h, np.float64)
+    n = J.shape[0]
+    if exact_energy_bound(J, h) >= float(1 << 24):
+        raise ValueError("coupling magnitudes too large for exact f32 "
+                         "meet-in-the-middle (bound >= 2^24); rescale or "
+                         "use the host path")
+    a, b = _split(J, h)
+    if symmetry is None:
+        symmetry = not np.any(h)
+    abits = a - 1 if symmetry else a
+    total_a = 1 << abits
+    block_a = min(block_a, total_a)
+    block_b = min(block_b, 1 << b)
+    num_a = (total_a + block_a - 1) // block_a
+    num_b = (1 << b) // block_b
+
+    EB_h, CBT_h = _b_tables(J, h, a, b)
+    EB = jnp.asarray(EB_h)
+    CBT = jnp.asarray(CBT_h)
+    JA32 = jnp.asarray(J[:a, :a], jnp.float32)
+    hA32 = jnp.asarray(h[:a], jnp.float32)
+
+    def a_signs(off):                         # traced [block_a, a] +-1 f32
+        r = off + jnp.arange(block_a, dtype=jnp.int32)
+        bits = (r[:, None] >> jnp.arange(abits, dtype=jnp.int32)) & 1
+        S = 1.0 - 2.0 * bits.astype(jnp.float32)
+        if symmetry:
+            S = jnp.concatenate([jnp.ones((block_a, 1), jnp.float32), S],
+                                axis=1)
+        return S
+
+    @jax.jit
+    def scan_all():
+        def a_step(carry, off):
+            SA = a_signs(off)
+            EA = (-0.5 * jnp.einsum(
+                "ri,ij,rj->r", SA, JA32, SA,
+                precision=jax.lax.Precision.HIGHEST) - SA @ hA32)
+            valid = (off + jnp.arange(block_a, dtype=jnp.int32)) < total_a
+            EA = jnp.where(valid, EA, jnp.float32(jnp.inf))
+
+            def b_step(c, jb):
+                boff = jb * block_b
+                ebt = jax.lax.dynamic_slice(EB, (boff,), (block_b,))
+                cbt = jax.lax.dynamic_slice(
+                    CBT, (jnp.int32(0), boff), (a, block_b))
+                T = (EA[:, None] + ebt[None, :]
+                     - jnp.dot(SA, cbt,
+                               precision=jax.lax.Precision.HIGHEST))
+                flat = jnp.argmin(T).astype(jnp.int32)
+                ia = flat // jnp.int32(block_b)
+                ib = flat % jnp.int32(block_b)
+                e = T[ia, ib]
+                best_e, best_ra, best_rb = c
+                better = e < best_e
+                return ((jnp.where(better, e, best_e),
+                         jnp.where(better, off + ia, best_ra),
+                         jnp.where(better, boff + ib, best_rb)), None)
+
+            carry, _ = jax.lax.scan(b_step, carry,
+                                    jnp.arange(num_b, dtype=jnp.int32))
+            return carry, None
+
+        offs = jnp.arange(num_a, dtype=jnp.int32) * block_a
+        init = (jnp.float32(jnp.inf), jnp.int32(0), jnp.int32(0))
+        (e, ra, rb), _ = jax.lax.scan(a_step, init, offs)
+        return e, ra, rb
+
+    e, ra, rb = jax.device_get(scan_all())
+    if symmetry:
+        sA = np.concatenate([[1.0], signs_table(abits, int(ra), 1,
+                                                np.float64)[0]])
+    else:
+        sA = signs_table(a, int(ra), 1, np.float64)[0]
+    sB = signs_table(b, int(rb), 1, np.float64)[0]
+    s = np.concatenate([sA, sB])
+    e64 = float(prob.energy(s))            # f64 re-verification on host
+    if verify:
+        assert abs(e64 - float(e)) <= 1e-3 * max(1.0, abs(e64)), \
+            f"device/host energy mismatch: {e} vs {e64}"
+    return e64, s
+
+
+def solve_exact_pallas(prob, *, symmetry: Optional[bool] = None,
+                       block_a: int = 1024, block_b: int = 8192,
+                       interpret: bool = False,
+                       verify: bool = True) -> Tuple[float, np.ndarray]:
+    """Exact ground state via the fused Pallas kernel
+    (ops/exact_pallas.py): every energy tile stays in VMEM, reduced to a
+    per-A-row running (min, argmin-b) in the matmul epilogue. HBM sees
+    only the +-1 tables — this is the n≈44-50 tier (2^49 energies in
+    ~minutes on a v5e; the XLA variant would stream petabytes).
+    """
+    import jax.numpy as jnp
+
+    from .ops.exact_pallas import mitm_min_pallas
+
+    J = np.asarray(prob.J, np.float64)
+    h = np.asarray(prob.h, np.float64)
+    if exact_energy_bound(J, h) >= float(1 << 24):
+        raise ValueError("coupling magnitudes too large for exact f32 "
+                         "meet-in-the-middle (bound >= 2^24)")
+    a, b = _split(J, h)
+    if symmetry is None:
+        symmetry = not np.any(h)
+    abits = a - 1 if symmetry else a
+    total_a = 1 << abits
+    block_a = min(block_a, total_a)
+    block_b = min(block_b, 1 << b)
+    TA = ((total_a + block_a - 1) // block_a) * block_a
+    JA, hA = J[:a, :a], h[:a]
+
+    # A-side tables, built in bounded f64 blocks, stored f32 (+inf pads)
+    SA = np.ones((TA, a), np.float32)
+    EA = np.full(TA, np.inf, np.float32)
+    step = 1 << 18
+    for off in range(0, total_a, step):
+        cnt = min(step, total_a - off)
+        Sblk = signs_table(abits, off, cnt, np.float64)
+        if symmetry:
+            Sblk = np.concatenate([np.ones((cnt, 1)), Sblk], axis=1)
+        SA[off:off + cnt] = Sblk
+        EA[off:off + cnt] = _half_energies(JA, hA, Sblk)
+
+    EB, CBT = _b_tables(J, h, a, b)
+    min_e, arg_b = mitm_min_pallas(
+        jnp.asarray(SA), jnp.asarray(CBT), jnp.asarray(EA),
+        jnp.asarray(EB), block_a=block_a, block_b=block_b,
+        interpret=interpret)
+    min_e = np.asarray(min_e)
+    arg_b = np.asarray(arg_b)
+    ra = int(np.argmin(min_e))
+    rb = int(arg_b[ra])
+    if symmetry:
+        sA = np.concatenate([[1.0], signs_table(abits, ra, 1,
+                                                np.float64)[0]])
+    else:
+        sA = signs_table(a, ra, 1, np.float64)[0]
+    sB = signs_table(b, rb, 1, np.float64)[0]
+    s = np.concatenate([sA, sB])
+    e64 = float(prob.energy(s))
+    if verify:
+        assert abs(e64 - float(min_e[ra])) <= 1e-3 * max(1.0, abs(e64)), \
+            f"kernel/host energy mismatch: {min_e[ra]} vs {e64}"
+    return e64, s

@@ -1,0 +1,23 @@
+#!/bin/bash
+# PROVABLY exact ground state of the last unsolved shipped instance
+# (cwb N=50 inst_18) by meet-in-the-middle on the MXU: 2^49 energies,
+# fused Pallas min/argmin epilogue (nmc_tpu/exact.py). Also re-derives
+# the shipped truth -616800 if MCMC already found it — either way the
+# framework INDEPENDENTLY proves a reference ground truth at n=50.
+set -x
+cd /root/repo
+rem=$(( ${DEADLINE:-9999999999} - $(date +%s) ))
+if [ "$rem" -lt 4200 ]; then echo "DEADLINE: skip inst18 exact"; exit 0; fi
+mkdir -p data/holdout_n18 results
+if [ ! -s data/holdout_n18/gs_energies.txt ]; then
+  CWB=/root/reference/NPT/examples/contrived_wishart_backbone/wishart_planting_N_50_alpha_0.20
+  cp "$CWB"/wishart_planting_N_50_alpha_0.20_inst_18.txt data/holdout_n18/
+  grep -h "inst_18\.txt" "$CWB"/gs_energies.txt > data/holdout_n18/gs_energies.txt
+fi
+timeout 4000 python -m nmc_tpu exact \
+  data/holdout_n18/wishart_planting_N_50_alpha_0.20_inst_18.txt \
+  --backend pallas --block-a 1024 --block-b 8192 \
+  --out results/inst18_exact.jsonl \
+  --save-state results/inst18_ground_state.txt \
+  || echo "inst18 exact failed/timed out"
+echo "INST18 EXACT DONE"

@@ -1,0 +1,134 @@
+"""Exact meet-in-the-middle solver: host vs brute force, device vs host,
+f32-exactness guard, and ground-truth verification on a shipped reference
+instance (the reference ships truths but no solver to produce them —
+nmc_tpu/exact.py makes them independently checkable)."""
+
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+WISHART = ("/root/reference/NPT/examples/wishart_small/"
+           "wishart_planting_N_22_alpha_0.50")
+
+
+def _brute(prob):
+    best, best_s = np.inf, None
+    for bits in itertools.product((-1.0, 1.0), repeat=prob.n):
+        s = np.array(bits)
+        e = float(prob.energy(s))
+        if e < best:
+            best, best_s = e, s
+    return best, best_s
+
+
+def test_host_matches_brute_force(rng):
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import solve_exact_host
+
+    J = rng.normal(size=(14, 14))
+    J = 0.5 * (J + J.T)
+    np.fill_diagonal(J, 0.0)
+    h = rng.normal(size=14)
+    prob = IsingProblem(J, h)             # h != 0: no symmetry shortcut
+    e_b, _ = _brute(prob)
+    e, s = solve_exact_host(prob)
+    assert abs(e - e_b) < 1e-9
+    assert abs(float(prob.energy(s)) - e) < 1e-9
+
+
+def test_host_symmetry_path(rng):
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import solve_exact_host
+
+    J = rng.normal(size=(15, 15))         # odd n, h = 0 -> pinned spin
+    J = 0.5 * (J + J.T)
+    np.fill_diagonal(J, 0.0)
+    prob = IsingProblem(J, np.zeros(15))
+    e_b, _ = _brute(prob)
+    e, s = solve_exact_host(prob)
+    assert abs(e - e_b) < 1e-9
+
+
+def test_device_matches_host():
+    from nmc_tpu.exact import solve_exact_device, solve_exact_host
+    from nmc_tpu.io.generators import wishart_planted
+
+    prob, t, gs = wishart_planted(20, 0.3, seed=11)
+    e_h, _ = solve_exact_host(prob)
+    e_d, s_d = solve_exact_device(prob, block_a=64, block_b=256)
+    assert abs(e_d - e_h) < 1e-6 * abs(e_h)
+    assert abs(float(prob.energy(s_d)) - e_d) < 1e-9
+    # the planted state is a ground state: energies must agree
+    assert e_d <= gs + 1e-9
+
+
+def test_device_integer_exactness():
+    """Integer couplings >> 256: the HIGHEST-precision matmul path must
+    return the exact integer energy (the default bf16 passes would not)."""
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import solve_exact_device, solve_exact_host
+
+    rng = np.random.default_rng(5)
+    J = rng.integers(-20000, 20000, size=(18, 18)).astype(np.float64)
+    J = np.triu(J, 1)
+    J = J + J.T
+    prob = IsingProblem(J, np.zeros(18))
+    e_h, _ = solve_exact_host(prob)
+    e_d, _ = solve_exact_device(prob, block_a=128, block_b=512)
+    assert e_d == e_h                     # exact integers, bitwise equal
+
+
+def test_f32_bound_guard():
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import solve_exact_device
+
+    J = np.zeros((12, 12))
+    J[0, 1] = J[1, 0] = 3e7               # blows the 2^24 budget
+    prob = IsingProblem(J, np.zeros(12))
+    with pytest.raises(ValueError, match="2\\^24"):
+        solve_exact_device(prob)
+
+
+@pytest.mark.skipif(not os.path.isdir(WISHART),
+                    reason="reference wishart_small not present")
+def test_reference_truth_verified_exactly():
+    """Independently re-derive a shipped ground-truth energy: exact
+    agreement with gs_energies.txt for wishart N=22."""
+    from nmc_tpu.evaluation import wishart_folder_instances
+    from nmc_tpu.exact import solve_exact_host
+
+    name, prob, gs_raw = next(iter(wishart_folder_instances(WISHART,
+                                                            limit=1)))
+    e, s = solve_exact_host(prob)
+    assert e == gs_raw                    # integers: bitwise equality
+
+
+def test_pallas_interpret_matches_host():
+    """Fused MITM kernel (interpret mode): bitwise agreement with the
+    host path, including the +inf row padding when block_a does not
+    divide the A table."""
+    from nmc_tpu.exact import solve_exact_host, solve_exact_pallas
+    from nmc_tpu.io.generators import wishart_planted
+
+    prob, t, gs = wishart_planted(18, 0.5, seed=7)
+    e_h, _ = solve_exact_host(prob)
+    e_p, s_p = solve_exact_pallas(prob, block_a=64, block_b=128,
+                                  interpret=True)
+    assert e_p == e_h
+    assert abs(float(prob.energy(s_p)) - e_p) < 1e-9
+
+
+def test_pallas_interpret_padded_grid(rng):
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import solve_exact_host, solve_exact_pallas
+
+    J = np.round(10 * rng.normal(size=(15, 15)))
+    J = np.triu(J, 1)
+    J = J + J.T
+    prob = IsingProblem(J, np.zeros(15))   # a=7, sym -> TA=64; pad to 96
+    e_h, _ = solve_exact_host(prob)
+    e_p, _ = solve_exact_pallas(prob, block_a=48, block_b=64,
+                                interpret=True)
+    assert e_p == e_h
