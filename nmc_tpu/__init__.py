@@ -36,7 +36,8 @@ from .ops.spectral import (SpectralResult, auto_subspace_dim,
                            spectral_candidates,
                            spectral_candidates_device, spectral_search)
 from .exact import (exact_energy_bound, solve_exact_device,
-                    solve_exact_host, solve_exact_pallas)
+                    solve_exact_enum, solve_exact_host,
+                    solve_exact_pallas)
 from .portfolio import SolveResult, SolveStage, portfolio_solve
 
 __version__ = "0.1.0"
@@ -58,7 +59,7 @@ __all__ = [
     "Presolve", "peel_leaves",
     "SolveResult", "SolveStage", "portfolio_solve",
     "solve_exact_host", "solve_exact_device", "solve_exact_pallas",
-    "exact_energy_bound",
+    "solve_exact_enum", "exact_energy_bound",
     "SpectralResult", "spectral_search", "spectral_candidates",
     "spectral_candidates_device", "auto_subspace_dim",
     "difference_map_rounding", "difference_map_rounding_device",

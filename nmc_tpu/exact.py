@@ -36,7 +36,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["solve_exact_host", "solve_exact_device", "solve_exact_pallas",
-           "exact_energy_bound", "signs_table"]
+           "solve_exact_enum", "exact_energy_bound", "signs_table"]
 
 
 def exact_energy_bound(J, h=None) -> float:
@@ -297,3 +297,68 @@ def solve_exact_pallas(prob, *, symmetry: Optional[bool] = None,
         assert abs(e64 - float(min_e[ra])) <= 1e-3 * max(1.0, abs(e64)), \
             f"kernel/host energy mismatch: {min_e[ra]} vs {e64}"
     return e64, s
+
+
+def solve_exact_enum(prob, *, incumbent: Optional[np.ndarray] = None,
+                     max_nodes: int = 0,
+                     dm_starts: int = 512, dm_iters: int = 800,
+                     seed: int = 0):
+    """Exact ground state (with PROOF) by native branch-and-bound
+    enumeration — the CPU-side tier, no accelerator needed.
+
+    E(s) = c0 + 1/2 ||M s||^2 exactly, with M = diag(sqrt(lmax - w)) V^T
+    from the eigendecomposition of J (the h != 0 case is not supported —
+    fold fields via an ancilla spin upstream if needed). A QR of M (heavy
+    pivot columns enumerated first) turns accumulated row norms into
+    exact bounds; the native DFS (native/enum.cpp) beats-or-proves the
+    incumbent. Returns (energy, state, proved): `proved` means the tree
+    was exhausted, so `energy` is the true global minimum.
+
+    Unlike the meet-in-the-middle tiers the cost is instance-dependent
+    (golf-course landscapes with big spectral gaps prune ferociously);
+    `max_nodes` caps the search (0 = unbounded), returning proved=False
+    when hit.
+    """
+    import scipy.linalg as sla
+
+    from .native import exact_enumerate
+    from .ops.spectral import batched_descent_host, spectral_search
+
+    J = np.asarray(prob.J, np.float64)
+    h = np.asarray(prob.h, np.float64)
+    if np.any(h):
+        raise ValueError("solve_exact_enum requires h = 0 (spin-flip "
+                         "symmetric form); fold fields into an ancilla "
+                         "spin first")
+    n = J.shape[0]
+    w, v = np.linalg.eigh(J)
+    lmax = float(w[-1])
+    c0 = -0.5 * lmax * n
+    M = np.sqrt(np.maximum(lmax - w, 0.0))[:, None] * v.T
+
+    if incumbent is None:
+        r = spectral_search(prob, dm_starts=dm_starts, dm_iters=dm_iters,
+                            polish=8, seed=seed)
+        incumbent = r.best_state
+    incumbent = np.where(np.asarray(incumbent, np.float64) >= 0, 1., -1.)
+    e_inc = float(prob.energy(incumbent))
+
+    # heavy pivots first in enumeration order (R diagonal increasing)
+    _, _, piv = sla.qr(M, pivoting=True)
+    order = piv[::-1].copy()
+    _, R = sla.qr(M[:, order], mode="economic")
+    A = np.abs(R)
+    W = np.zeros_like(R)
+    for k in range(n):
+        W[k, k + 1:] = np.cumsum(A[k, k:-1])
+
+    r2 = 2.0 * (e_inc - c0)
+    found, z, best_r2, nodes, complete = exact_enumerate(
+        R, W, r2, max_nodes=max_nodes)
+    if found:
+        s = np.empty(n)
+        s[order] = z
+        e = float(prob.energy(s))
+        # enumeration improved the incumbent; exhausted tree = proof
+        return e, s, complete
+    return e_inc, incumbent, complete

@@ -131,3 +131,67 @@ def backbone_clusters(
         float(threshold_initial), float(threshold_cutoff),
         float(threshold_step), cid)
     return [np.flatnonzero(cid == c) for c in range(ncl)]
+
+
+_ENUM_SRC = os.path.join(_HERE, "enum.cpp")
+_ENUM_LIB: Optional[ctypes.CDLL] = None
+_ENUM_TRIED = False
+
+
+def load_enum_library() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the exact-enumeration library; None if
+    unavailable (callers fall back to the MITM device/host paths)."""
+    global _ENUM_LIB, _ENUM_TRIED
+    with _LOCK:
+        if _ENUM_LIB is not None or _ENUM_TRIED:
+            return _ENUM_LIB
+        _ENUM_TRIED = True
+        so_path = os.path.join(_build_dir(), "libnmcenum.so")
+        try:
+            if (not os.path.exists(so_path)
+                    or os.path.getmtime(so_path)
+                    < os.path.getmtime(_ENUM_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", so_path, _ENUM_SRC],
+                    check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(so_path)
+            lib.nmc_exact_enumerate.restype = ctypes.c_longlong
+            lib.nmc_exact_enumerate.argtypes = [
+                ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                ctypes.c_longlong,
+            ]
+            _ENUM_LIB = lib
+        except Exception:
+            _ENUM_LIB = None
+        return _ENUM_LIB
+
+
+def exact_enumerate(R: np.ndarray, W: np.ndarray, r2: float,
+                    max_nodes: int = 0):
+    """DFS the +-1 cube against upper-triangular R (see enum.cpp).
+
+    Returns (found, z, best_r2, nodes, complete): `complete` means the
+    tree was exhausted — a PROOF that nothing beats r2 (or that the
+    returned z is the exact optimum if found).
+    """
+    lib = load_enum_library()
+    if lib is None:
+        raise RuntimeError("native enum library unavailable")
+    n = R.shape[0]
+    best_r2 = np.array([r2], np.float64)
+    best_z = np.zeros(n, np.float64)
+    found = np.zeros(1, np.int32)
+    status = np.zeros(1, np.int32)
+    nodes = lib.nmc_exact_enumerate(
+        np.int32(n), np.ascontiguousarray(R, np.float64),
+        np.ascontiguousarray(W, np.float64), best_r2, best_z, found,
+        status, np.longlong(max_nodes))
+    return (bool(found[0]), best_z, float(best_r2[0]), int(nodes),
+            status[0] == 0)

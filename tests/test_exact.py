@@ -132,3 +132,35 @@ def test_pallas_interpret_padded_grid(rng):
     e_p, _ = solve_exact_pallas(prob, block_a=48, block_b=64,
                                 interpret=True)
     assert e_p == e_h
+
+
+def test_enum_proves_optimality(rng):
+    """Native branch-and-bound enumeration: beats-or-proves the
+    incumbent with an exhausted tree == optimality proof; parity with
+    the MITM host tier."""
+    pytest.importorskip("scipy")
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import solve_exact_enum, solve_exact_host
+    from nmc_tpu.native import load_enum_library
+
+    if load_enum_library() is None:
+        pytest.skip("native toolchain unavailable")
+    J = np.round(50 * rng.normal(size=(20, 20)))
+    J = np.triu(J, 1)
+    J = J + J.T
+    prob = IsingProblem(J, np.zeros(20))
+    e_h, _ = solve_exact_host(prob)
+    e, s, proved = solve_exact_enum(prob, dm_starts=32, dm_iters=100)
+    assert proved
+    assert e == e_h
+    assert abs(float(prob.energy(s)) - e) < 1e-9
+
+
+def test_enum_rejects_fields():
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import solve_exact_enum
+
+    J = np.zeros((6, 6))
+    J[0, 1] = J[1, 0] = 1.0
+    with pytest.raises(ValueError, match="h = 0"):
+        solve_exact_enum(IsingProblem(J, np.ones(6)))
