@@ -164,3 +164,27 @@ def test_enum_rejects_fields():
     J[0, 1] = J[1, 0] = 1.0
     with pytest.raises(ValueError, match="h = 0"):
         solve_exact_enum(IsingProblem(J, np.ones(6)))
+
+
+WSMALL = "/root/reference/NPT/examples/wishart_small"
+
+
+@pytest.mark.skipif(not os.path.isdir(WSMALL),
+                    reason="reference wishart_small not present")
+@pytest.mark.parametrize("folder", [
+    "wishart_planting_N_8_alpha_1.00",
+    "wishart_planting_N_16_alpha_0.50",
+    "wishart_planting_N_24_alpha_0.50",
+])
+def test_shipped_truths_rederived_exactly(folder):
+    """Loader + energy convention + shipped gs_energies.txt all agree
+    with an independent exact enumeration (bitwise, integer energies)."""
+    from nmc_tpu.evaluation import wishart_folder_instances
+    from nmc_tpu.exact import solve_exact_host
+
+    path = os.path.join(WSMALL, folder)
+    if not os.path.isdir(path):
+        pytest.skip(f"{folder} not shipped")
+    for name, prob, gs_raw in wishart_folder_instances(path, limit=2):
+        e, s = solve_exact_host(prob)
+        assert e == gs_raw, name
