@@ -7,14 +7,14 @@
 set -x
 cd /root/repo
 rem=$(( ${DEADLINE:-9999999999} - $(date +%s) ))
-if [ "$rem" -lt 4200 ]; then echo "DEADLINE: skip inst18 exact"; exit 0; fi
+if [ "$rem" -lt 6000 ]; then echo "DEADLINE: skip inst18 exact"; exit 0; fi
 mkdir -p data/holdout_n18 results
 if [ ! -s data/holdout_n18/gs_energies.txt ]; then
   CWB=/root/reference/NPT/examples/contrived_wishart_backbone/wishart_planting_N_50_alpha_0.20
   cp "$CWB"/wishart_planting_N_50_alpha_0.20_inst_18.txt data/holdout_n18/
   grep -h "inst_18\.txt" "$CWB"/gs_energies.txt > data/holdout_n18/gs_energies.txt
 fi
-timeout 4000 python -m nmc_tpu exact \
+timeout 5400 python -m nmc_tpu exact \
   data/holdout_n18/wishart_planting_N_50_alpha_0.20_inst_18.txt \
   --backend pallas --block-a 1024 --block-b 8192 \
   --out results/inst18_exact.jsonl \
