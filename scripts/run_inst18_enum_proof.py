@@ -1,0 +1,69 @@
+"""Verification-mode exact enumeration of cwb N=50 inst_18: use the
+shipped ground-truth energy as the branch-and-bound radius (the standard
+B&B-with-known-optimum setting — every MCMC arm also receives the target
+for early stopping). Radius 2*(gs + q - c0) with q one coupling quantum:
+any state strictly below gs + q is the ground state. Exhaustion without
+a find would falsify the shipped truth.
+
+Writes results/inst18_enum_proof.json; state to
+results/inst18_ground_state_enum.txt on success.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import numpy as np
+    import scipy.linalg as sla
+
+    from nmc_tpu.io.loaders import load_wishart
+    from nmc_tpu.native import exact_enumerate
+
+    inst = ("data/holdout_n18/"
+            "wishart_planting_N_50_alpha_0.20_inst_18.txt")
+    prob = load_wishart(inst)
+    J = np.asarray(prob.J, np.float64)
+    n = J.shape[0]
+    gs = -616800.0
+    w, v = np.linalg.eigh(J)
+    lmax = float(w[-1])
+    c0 = -0.5 * lmax * n
+    M = np.sqrt(np.maximum(lmax - w, 0.0))[:, None] * v.T
+    _, _, piv = sla.qr(M, pivoting=True)
+    order = piv[::-1].copy()
+    _, R = sla.qr(M[:, order], mode="economic")
+    A = np.abs(R)
+    W = np.zeros_like(R)
+    for k in range(n):
+        W[k, k + 1:] = np.cumsum(A[k, k:-1])
+
+    q = 32.0                          # one energy quantum for this family
+    r2 = 2.0 * (gs + q - c0)
+    t0 = time.time()
+    found, z, best_r2, nodes, complete = exact_enumerate(
+        R, W, r2, max_nodes=0)        # unbounded: run to exhaustion
+    wall = time.time() - t0
+    rec = dict(instance=os.path.basename(inst), gs_shipped=gs,
+               radius_sq=r2, found=found, complete=complete,
+               nodes=nodes, wall_s=round(wall, 1))
+    if found:
+        s = np.empty(n)
+        s[order] = z
+        e = float(prob.energy(s))
+        rec["energy_found"] = e
+        rec["residual"] = e - gs
+        if e <= gs + 1e-6:
+            os.makedirs("results", exist_ok=True)
+            np.savetxt("results/inst18_ground_state_enum.txt", s, fmt="%+d")
+    os.makedirs("results", exist_ok=True)
+    with open("results/inst18_enum_proof.json", "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
