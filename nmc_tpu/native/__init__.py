@@ -156,17 +156,26 @@ def load_enum_library() -> Optional[ctypes.CDLL]:
                      "-o", so_path, _ENUM_SRC],
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(so_path)
-            lib.nmc_exact_enumerate.restype = ctypes.c_longlong
-            lib.nmc_exact_enumerate.argtypes = [
-                ctypes.c_int32,
-                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            common_tail = [
                 np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 ctypes.c_longlong,
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ]
+            lib.nmc_exact_enumerate.restype = ctypes.c_longlong
+            lib.nmc_exact_enumerate.argtypes = [
+                ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ] + common_tail
+            lib.nmc_exact_enumerate_f32.restype = ctypes.c_longlong
+            lib.nmc_exact_enumerate_f32.argtypes = [
+                ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ] + common_tail
             _ENUM_LIB = lib
         except Exception:
             _ENUM_LIB = None
@@ -174,12 +183,17 @@ def load_enum_library() -> Optional[ctypes.CDLL]:
 
 
 def exact_enumerate(R: np.ndarray, W: np.ndarray, r2: float,
-                    max_nodes: int = 0):
+                    max_nodes: int = 0, use_f32: bool = False,
+                    progress: Optional[np.ndarray] = None):
     """DFS the +-1 cube against upper-triangular R (see enum.cpp).
 
     Returns (found, z, best_r2, nodes, complete): `complete` means the
     tree was exhausted — a PROOF that nothing beats r2 (or that the
-    returned z is the exact optimum if found).
+    returned z is the exact optimum if found). `use_f32`: 2x SIMD width;
+    only safe when the radius carries slack far above f32 rounding of
+    the energy scale (integer landscapes with a quantum of headroom).
+    `progress`: optional int64[1] array the kernel updates every ~16M
+    nodes — poll it from another thread on long proofs.
     """
     lib = load_enum_library()
     if lib is None:
@@ -189,9 +203,13 @@ def exact_enumerate(R: np.ndarray, W: np.ndarray, r2: float,
     best_z = np.zeros(n, np.float64)
     found = np.zeros(1, np.int32)
     status = np.zeros(1, np.int32)
-    nodes = lib.nmc_exact_enumerate(
-        np.int32(n), np.ascontiguousarray(R, np.float64),
-        np.ascontiguousarray(W, np.float64), best_r2, best_z, found,
-        status, np.longlong(max_nodes))
+    if progress is None:
+        progress = np.zeros(1, np.int64)
+    dt = np.float32 if use_f32 else np.float64
+    fn = lib.nmc_exact_enumerate_f32 if use_f32 else lib.nmc_exact_enumerate
+    nodes = fn(
+        np.int32(n), np.ascontiguousarray(R, dt),
+        np.ascontiguousarray(W, dt), best_r2, best_z, found,
+        status, np.longlong(max_nodes), progress)
     return (bool(found[0]), best_z, float(best_r2[0]), int(nodes),
             status[0] == 0)

@@ -44,8 +44,22 @@ def main():
     q = 32.0                          # one energy quantum for this family
     r2 = 2.0 * (gs + q - c0)
     t0 = time.time()
+    progress = np.zeros(1, np.int64)
+
+    import threading
+
+    def watcher():
+        while not done_evt.wait(60):
+            print(f"... {progress[0]/1e9:.2f}e9 nodes, "
+                  f"{time.time()-t0:.0f}s", flush=True)
+
+    done_evt = threading.Event()
+    threading.Thread(target=watcher, daemon=True).start()
+    # f32 is safe here: radius slack is a full coupling quantum (32)
+    # vs f32 rounding ~0.04 at this energy scale
     found, z, best_r2, nodes, complete = exact_enumerate(
-        R, W, r2, max_nodes=0)        # unbounded: run to exhaustion
+        R, W, r2, max_nodes=0, use_f32=True, progress=progress)
+    done_evt.set()
     wall = time.time() - t0
     rec = dict(instance=os.path.basename(inst), gs_shipped=gs,
                radius_sq=r2, found=found, complete=complete,

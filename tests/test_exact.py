@@ -188,3 +188,40 @@ def test_shipped_truths_rederived_exactly(folder):
     for name, prob, gs_raw in wishart_folder_instances(path, limit=2):
         e, s = solve_exact_host(prob)
         assert e == gs_raw, name
+
+
+def test_enum_f32_variant_matches(rng):
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import solve_exact_host
+    from nmc_tpu.native import exact_enumerate, load_enum_library
+
+    if load_enum_library() is None:
+        pytest.skip("native toolchain unavailable")
+    import scipy.linalg as sla
+
+    J = np.round(40 * rng.normal(size=(18, 18)))
+    J = np.triu(J, 1)
+    J = J + J.T
+    prob = IsingProblem(J, np.zeros(18))
+    e_h, _ = solve_exact_host(prob)
+    n = 18
+    w, v = np.linalg.eigh(J)
+    lmax = float(w[-1])
+    c0 = -0.5 * lmax * n
+    M = np.sqrt(np.maximum(lmax - w, 0.0))[:, None] * v.T
+    _, _, piv = sla.qr(M, pivoting=True)
+    order = piv[::-1].copy()
+    _, R = sla.qr(M[:, order], mode="economic")
+    A = np.abs(R)
+    W = np.zeros_like(R)
+    for k in range(n):
+        W[k, k + 1:] = np.cumsum(A[k, k:-1])
+    r2 = 2.0 * (e_h + 1.0 - c0)       # quantum of slack above the optimum
+    for f32 in (False, True):
+        found, z, br2, nodes, complete = exact_enumerate(
+            R, W, r2, use_f32=f32)
+        assert complete
+        assert found
+        s = np.empty(n)
+        s[order] = z
+        assert float(prob.energy(s)) == e_h, f"f32={f32}"
