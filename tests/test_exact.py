@@ -225,3 +225,25 @@ def test_enum_f32_variant_matches(rng):
         s = np.empty(n)
         s[order] = z
         assert float(prob.energy(s)) == e_h, f"f32={f32}"
+
+
+@pytest.mark.skipif(not os.path.isdir(WISHART),
+                    reason="reference wishart_small not present")
+def test_exact_cli(tmp_path):
+    import json
+
+    from nmc_tpu.cli import main
+
+    inst = os.path.join(WISHART,
+                        "wishart_planting_N_22_alpha_0.50_inst_1.txt")
+    out = str(tmp_path / "exact.jsonl")
+    state_f = str(tmp_path / "gs.txt")
+    rc = main(["exact", inst, "--backend", "host", "--out", out,
+               "--save-state", state_f])
+    assert rc == 0
+    rec = json.loads(open(out).readline())
+    assert rec["backend"] == "host"
+    assert rec["matches_shipped"] is True
+    assert rec["energy_raw"] == rec["shipped_target"]
+    s = np.loadtxt(state_f)
+    assert s.shape == (22,)
