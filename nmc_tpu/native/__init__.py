@@ -189,9 +189,10 @@ def exact_enumerate(R: np.ndarray, W: np.ndarray, r2: float,
 
     Returns (found, z, best_r2, nodes, complete): `complete` means the
     tree was exhausted — a PROOF that nothing beats r2 (or that the
-    returned z is the exact optimum if found). `use_f32`: 2x SIMD width;
-    only safe when the radius carries slack far above f32 rounding of
-    the energy scale (integer landscapes with a quantum of headroom).
+    returned z is the exact optimum if found). `use_f32`: 2x SIMD width,
+    SEARCH MODE ONLY — the f32 box bound's slack error grows with row
+    magnitude (≈2·slack·δ per row) and can wrongly prune near-radius
+    subtrees, so exhaustion is NOT a proof in f32; use f64 for proofs.
     `progress`: optional int64[1] array the kernel updates every ~16M
     nodes — poll it from another thread on long proofs.
     """

@@ -55,15 +55,16 @@ def main():
 
     done_evt = threading.Event()
     threading.Thread(target=watcher, daemon=True).start()
-    # f32 is safe here: radius slack is a full coupling quantum (32)
-    # vs f32 rounding ~0.04 at this energy scale
+    # f64 ONLY for proofs: the f32 box bound's slack error scales with
+    # row magnitude (~2*slack*delta per row) and can exceed the radius
+    # headroom — measured wrongly pruning this very instance's decoy
     found, z, best_r2, nodes, complete = exact_enumerate(
-        R, W, r2, max_nodes=0, use_f32=True, progress=progress)
+        R, W, r2, max_nodes=0, use_f32=False, progress=progress)
     done_evt.set()
     wall = time.time() - t0
     rec = dict(instance=os.path.basename(inst), gs_shipped=gs,
-               radius_sq=r2, found=found, complete=complete,
-               nodes=nodes, wall_s=round(wall, 1))
+               radius_sq=r2, found=bool(found), complete=bool(complete),
+               nodes=int(nodes), wall_s=round(wall, 1))
     if found:
         s = np.empty(n)
         s[order] = z
