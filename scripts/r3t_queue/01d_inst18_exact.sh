@@ -16,7 +16,7 @@ if [ ! -s data/holdout_n18/gs_energies.txt ]; then
 fi
 timeout 5400 python -m nmc_tpu exact \
   data/holdout_n18/wishart_planting_N_50_alpha_0.20_inst_18.txt \
-  --backend pallas --block-a 1024 --block-b 8192 \
+  --backend pallas --block-a 1024 --block-b 4096 \
   --out results/inst18_exact.jsonl \
   --save-state results/inst18_ground_state.txt \
   || echo "inst18 exact failed/timed out"
