@@ -320,6 +320,11 @@ def cmd_exact(args):
             backend = "device"
         else:
             backend = "pallas"
+    if (backend == "pallas" and not args.interpret
+            and jax.default_backend() == "cpu"):
+        raise SystemExit(
+            "the pallas tier compiles for TPU; on CPU use --backend host "
+            f"(n <= 34) or --interpret (tiny n only) — got n={prob.n}")
     t0 = time.perf_counter()
     if backend == "host":
         e, s = solve_exact_host(prob)
