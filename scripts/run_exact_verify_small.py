@@ -47,26 +47,32 @@ def main(argv=None):
         if n > args.max_n or base in done:
             continue
         t0 = time.perf_counter()
-        k = ok = 0
+        k = ok = okr = 0
         mism = []
         for name, prob, gs_raw in wishart_folder_instances(
                 folder, limit=args.limit):
             e, s = solve_exact_host(prob)
             k += 1
-            if e == gs_raw:         # integers: bitwise equality
+            if e == gs_raw:         # integer folders: bitwise equality
                 ok += 1
+            elif abs(e - gs_raw) <= max(1e-6 * abs(gs_raw), 1e-9):
+                # float-coupling folders ship truths printed to ~7
+                # decimals; the exact energy agrees within that
+                # rounding (and is strictly more precise)
+                okr += 1
             else:
                 mism.append(dict(name=name, shipped=gs_raw, exact=e))
         rec = dict(folder=base, n=n, instances=k, exact_matches=ok,
-                   mismatches=mism,
+                   rounded_matches=okr, mismatches=mism,
                    wall_s=round(time.perf_counter() - t0, 2))
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        print(f"{base}: {ok}/{k} exact matches "
+        print(f"{base}: {ok}/{k} exact + {okr} within-print-rounding "
               f"({rec['wall_s']}s)", flush=True)
         total += k
-        matches += ok
-    print(f"TOTAL: {matches}/{total} shipped truths re-derived exactly")
+        matches += ok + okr
+    print(f"TOTAL: {matches}/{total} shipped truths re-derived "
+          f"(exactly or within the truth files' own print rounding)")
 
 
 if __name__ == "__main__":
