@@ -334,9 +334,11 @@ def cmd_exact(args):
     else:
         e, s = solve_exact_pallas(prob, block_a=args.block_a,
                                   block_b=args.block_b,
-                                  interpret=args.interpret)
+                                  interpret=args.interpret,
+                                  planes=args.planes)
     wall = time.perf_counter() - t0
     rec = dict(name=base, n=prob.n, kind=kind, backend=backend,
+               planes=(args.planes if backend == "pallas" else None),
                energy_raw=e, wall_seconds=round(wall, 3),
                shipped_target=target if (target is None
                                          or np.isfinite(target)) else None,
@@ -552,6 +554,10 @@ def main(argv=None):
     p.add_argument("--block-b", type=int, default=8192)
     p.add_argument("--interpret", action="store_true",
                    help="interpret-mode Pallas (debugging)")
+    p.add_argument("--planes", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="int8 digit-plane cross-term matmuls (pallas "
+                        "tier; integer-coupled instances, bound < 2^29)")
     p.add_argument("--save-state", help="write the ground state here")
     p.add_argument("--out", help="append the JSON record here")
     p.add_argument("--cpu", action="store_true")

@@ -235,23 +235,43 @@ def solve_exact_device(prob, *, symmetry: Optional[bool] = None,
     return e64, s
 
 
+def _integer_problem(J, h) -> bool:
+    return bool(np.all(J == np.round(J)) and np.all(h == np.round(h)))
+
+
 def solve_exact_pallas(prob, *, symmetry: Optional[bool] = None,
                        block_a: int = 1024, block_b: int = 8192,
-                       interpret: bool = False,
+                       interpret: bool = False, planes: str = "auto",
                        verify: bool = True) -> Tuple[float, np.ndarray]:
     """Exact ground state via the fused Pallas kernel
     (ops/exact_pallas.py): every energy tile stays in VMEM, reduced to a
     per-A-row running (min, argmin-b) in the matmul epilogue. HBM sees
     only the +-1 tables — this is the n≈44-50 tier (2^49 energies in
     ~minutes on a v5e; the XLA variant would stream petabytes).
+
+    `planes` selects the cross-term matmul path: "auto" uses the int8
+    digit-plane kernel (`mitm_min_pallas_i8`) whenever the instance is
+    integer-coupled with |energy| bound < 2^29 — 2-3 single-pass int8
+    MXU matmuls instead of 6 Precision.HIGHEST f32 passes, and a wider
+    exactness window (2^29 vs 2^24). "on" requires it (raises when the
+    instance doesn't qualify); "off" forces the f32 kernel.
     """
     import jax.numpy as jnp
 
-    from .ops.exact_pallas import mitm_min_pallas
+    from .ops.exact_pallas import (I32_PAD, int8_planes, mitm_min_pallas,
+                                   mitm_min_pallas_i8)
 
+    if planes not in ("auto", "on", "off"):
+        raise ValueError(f"planes must be auto|on|off, got {planes!r}")
     J = np.asarray(prob.J, np.float64)
     h = np.asarray(prob.h, np.float64)
-    if exact_energy_bound(J, h) >= float(1 << 24):
+    bound = exact_energy_bound(J, h)
+    int_ok = _integer_problem(J, h) and bound < float(1 << 29)
+    if planes == "on" and not int_ok:
+        raise ValueError("planes='on' requires an integer-coupled "
+                         "instance with energy bound < 2^29")
+    use_i8 = int_ok and planes != "off"
+    if not use_i8 and bound >= float(1 << 24):
         raise ValueError("coupling magnitudes too large for exact f32 "
                          "meet-in-the-middle (bound >= 2^24)")
     a, b = _split(J, h)
@@ -277,10 +297,21 @@ def solve_exact_pallas(prob, *, symmetry: Optional[bool] = None,
         EA[off:off + cnt] = _half_energies(JA, hA, Sblk)
 
     EB, CBT = _b_tables(J, h, a, b)
-    min_e, arg_b = mitm_min_pallas(
-        jnp.asarray(SA), jnp.asarray(CBT), jnp.asarray(EA),
-        jnp.asarray(EB), block_a=block_a, block_b=block_b,
-        interpret=interpret)
+    if use_i8:
+        # integer path: +-1 tables as int8, energies as int32 (pad rows
+        # get the I32_PAD sentinel), cross term as base-256 digit planes
+        EA_i = np.where(np.isfinite(EA), np.round(EA), I32_PAD)
+        min_e, arg_b = mitm_min_pallas_i8(
+            jnp.asarray(SA.astype(np.int8)),
+            jnp.asarray(int8_planes(CBT)),
+            jnp.asarray(EA_i.astype(np.int32)),
+            jnp.asarray(np.round(EB).astype(np.int32)),
+            block_a=block_a, block_b=block_b, interpret=interpret)
+    else:
+        min_e, arg_b = mitm_min_pallas(
+            jnp.asarray(SA), jnp.asarray(CBT), jnp.asarray(EA),
+            jnp.asarray(EB), block_a=block_a, block_b=block_b,
+            interpret=interpret)
     min_e = np.asarray(min_e)
     arg_b = np.asarray(arg_b)
     ra = int(np.argmin(min_e))

@@ -120,7 +120,10 @@ def test_pallas_interpret_matches_host():
     assert abs(float(prob.energy(s_p)) - e_p) < 1e-9
 
 
-def test_pallas_interpret_padded_grid(rng):
+@pytest.mark.parametrize("planes", ["off", "auto"])
+def test_pallas_interpret_padded_grid(rng, planes):
+    # integer couplings: "auto" exercises the int8 digit-plane kernel's
+    # row padding (I32_PAD sentinel), "off" the f32 kernel's +inf rows
     from nmc_tpu import IsingProblem
     from nmc_tpu.exact import solve_exact_host, solve_exact_pallas
 
@@ -130,8 +133,52 @@ def test_pallas_interpret_padded_grid(rng):
     prob = IsingProblem(J, np.zeros(15))   # a=7, sym -> TA=64; pad to 96
     e_h, _ = solve_exact_host(prob)
     e_p, _ = solve_exact_pallas(prob, block_a=48, block_b=64,
-                                interpret=True)
+                                interpret=True, planes=planes)
     assert e_p == e_h
+
+
+def test_int8_planes_roundtrip(rng):
+    from nmc_tpu.ops.exact_pallas import int8_planes
+
+    C = np.round(rng.normal(size=(9, 33)) * 3e7)   # needs 4 digit planes
+    P = int8_planes(C)
+    assert P.dtype == np.int8 and P.shape[1:] == C.shape
+    back = sum((1 << (8 * k)) * P[k].astype(np.int64)
+               for k in range(P.shape[0]))
+    np.testing.assert_array_equal(back, C.astype(np.int64))
+    with pytest.raises(ValueError):
+        int8_planes(np.array([0.5]))
+
+
+def test_pallas_i8_matches_host_multiplane(rng):
+    """int8 kernel with couplings big enough to need 3 digit planes —
+    exact match with the f64 host path (and beyond the f32 kernel's 2^24
+    window, which must refuse)."""
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.exact import (exact_energy_bound, solve_exact_host,
+                               solve_exact_pallas)
+
+    J = np.round(rng.normal(size=(16, 16)) * 400_000)
+    J = np.triu(J, 1)
+    J = J + J.T
+    prob = IsingProblem(J, np.zeros(16))
+    assert float(1 << 24) < exact_energy_bound(J) < float(1 << 29)
+    e_h, _ = solve_exact_host(prob)
+    e_p, s_p = solve_exact_pallas(prob, block_a=64, block_b=128,
+                                  interpret=True, planes="on")
+    assert e_p == e_h
+    assert float(prob.energy(s_p)) == e_p
+    with pytest.raises(ValueError, match="2\\^24"):
+        solve_exact_pallas(prob, interpret=True, planes="off")
+
+
+def test_pallas_planes_on_rejects_float_couplings():
+    from nmc_tpu.exact import solve_exact_pallas
+    from nmc_tpu.io.generators import wishart_planted
+
+    prob, _, _ = wishart_planted(14, 0.5, seed=3)
+    with pytest.raises(ValueError, match="integer-coupled"):
+        solve_exact_pallas(prob, interpret=True, planes="on")
 
 
 def test_enum_proves_optimality(rng):
