@@ -550,8 +550,8 @@ def main(argv=None):
                             "contrived"])
     p.add_argument("--backend", default="auto",
                    choices=["auto", "host", "device", "pallas"])
-    p.add_argument("--block-a", type=int, default=1024)
-    p.add_argument("--block-b", type=int, default=8192)
+    p.add_argument("--block-a", type=int, default=512)
+    p.add_argument("--block-b", type=int, default=4096)
     p.add_argument("--interpret", action="store_true",
                    help="interpret-mode Pallas (debugging)")
     p.add_argument("--planes", default="auto",

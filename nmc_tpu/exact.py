@@ -240,7 +240,7 @@ def _integer_problem(J, h) -> bool:
 
 
 def solve_exact_pallas(prob, *, symmetry: Optional[bool] = None,
-                       block_a: int = 1024, block_b: int = 8192,
+                       block_a: int = 512, block_b: int = 4096,
                        interpret: bool = False, planes: str = "auto",
                        verify: bool = True) -> Tuple[float, np.ndarray]:
     """Exact ground state via the fused Pallas kernel

@@ -82,8 +82,8 @@ def _kernel(sa_ref, cbt_ref, ea_ref, eb_ref, oute_ref, outb_ref, *,
         outb_ref[0, :] = jnp.where(better, amin, outb_ref[0, :])
 
 
-def mitm_min_pallas(SA, CBT, EA, EB, *, block_a: int = 1024,
-                    block_b: int = 8192, interpret: bool = False):
+def mitm_min_pallas(SA, CBT, EA, EB, *, block_a: int = 512,
+                    block_b: int = 4096, interpret: bool = False):
     """Per-A-row (min_b energy, argmin_b) over the implicit table
     EA[:, None] + EB[None, :] - SA @ CBT.
 
@@ -163,8 +163,8 @@ def _kernel_i8(sa_ref, p_ref, ea_ref, eb_ref, oute_ref, outb_ref, *,
         outb_ref[0, :] = jnp.where(better, amin, outb_ref[0, :])
 
 
-def mitm_min_pallas_i8(SA, planes, EA, EB, *, block_a: int = 1024,
-                       block_b: int = 8192, interpret: bool = False):
+def mitm_min_pallas_i8(SA, planes, EA, EB, *, block_a: int = 512,
+                       block_b: int = 4096, interpret: bool = False):
     """Integer-exact variant of `mitm_min_pallas` for integer-coupled
     instances (every shipped wishart truth): the cross-term matrix
     arrives as signed base-256 int8 digit planes (see `int8_planes`) and

@@ -37,8 +37,8 @@ def main(argv=None):
                     help="instances per folder (default: all)")
     ap.add_argument("--planes", default="auto",
                     choices=["auto", "on", "off"])
-    ap.add_argument("--block-a", type=int, default=1024)
-    ap.add_argument("--block-b", type=int, default=8192)
+    ap.add_argument("--block-a", type=int, default=512)
+    ap.add_argument("--block-b", type=int, default=4096)
     ap.add_argument("--interpret", action="store_true",
                     help="interpret-mode Pallas (CPU smoke, tiny n only)")
     ap.add_argument("--cpu", action="store_true",
