@@ -121,12 +121,14 @@ def solve_exact_host(prob, *, symmetry: Optional[bool] = None,
     return e, s
 
 
-def _b_tables(J, h, a, b, block=1 << 18):
-    """EB [2^b] and CBT [a, 2^b] as f32 (exact: integer values < 2^24),
-    built in blocks so the f64 sign tables never exceed `block` rows."""
+def _b_tables(J, h, a, b, block=1 << 18, dtype=np.float32):
+    """EB [2^b] and CBT [a, 2^b], built in blocks so the f64 sign tables
+    never exceed `block` rows. Default f32 storage is exact for integer
+    values < 2^24; the int8-plane path passes dtype=f64 so values up to
+    its 2^29 window survive the stopover (f32 would drop low bits)."""
     JB, JX, hB = J[a:, a:], J[a:, :a], h[a:]
-    EB = np.empty(1 << b, np.float32)
-    CBT = np.empty((a, 1 << b), np.float32)
+    EB = np.empty(1 << b, dtype)
+    CBT = np.empty((a, 1 << b), dtype)
     for off in range(0, 1 << b, block):
         cnt = min(block, (1 << b) - off)
         SB = signs_table(b, off, cnt, np.float64)
@@ -236,7 +238,12 @@ def solve_exact_device(prob, *, symmetry: Optional[bool] = None,
 
 
 def _integer_problem(J, h) -> bool:
-    return bool(np.all(J == np.round(J)) and np.all(h == np.round(h)))
+    """True when every table entry is guaranteed integer: integer J/h
+    AND zero diagonal (IsingProblem documents but does not enforce it;
+    a nonzero diagonal makes the half-energies half-integer, which the
+    int32 path would silently round)."""
+    return bool(np.all(J == np.round(J)) and np.all(h == np.round(h))
+                and not np.any(np.diag(J)))
 
 
 def solve_exact_pallas(prob, *, symmetry: Optional[bool] = None,
@@ -284,9 +291,11 @@ def solve_exact_pallas(prob, *, symmetry: Optional[bool] = None,
     TA = ((total_a + block_a - 1) // block_a) * block_a
     JA, hA = J[:a, :a], h[:a]
 
-    # A-side tables, built in bounded f64 blocks, stored f32 (+inf pads)
+    # A-side tables, built in bounded f64 blocks (+inf pads); f64
+    # storage on the int path (integers < 2^29 do not fit f32)
+    tab_dt = np.float64 if use_i8 else np.float32
     SA = np.ones((TA, a), np.float32)
-    EA = np.full(TA, np.inf, np.float32)
+    EA = np.full(TA, np.inf, tab_dt)
     step = 1 << 18
     for off in range(0, total_a, step):
         cnt = min(step, total_a - off)
@@ -296,7 +305,7 @@ def solve_exact_pallas(prob, *, symmetry: Optional[bool] = None,
         SA[off:off + cnt] = Sblk
         EA[off:off + cnt] = _half_energies(JA, hA, Sblk)
 
-    EB, CBT = _b_tables(J, h, a, b)
+    EB, CBT = _b_tables(J, h, a, b, dtype=tab_dt)
     if use_i8:
         # integer path: +-1 tables as int8, energies as int32 (pad rows
         # get the I32_PAD sentinel), cross term as base-256 digit planes

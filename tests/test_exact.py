@@ -158,11 +158,17 @@ def test_pallas_i8_matches_host_multiplane(rng):
     from nmc_tpu.exact import (exact_energy_bound, solve_exact_host,
                                solve_exact_pallas)
 
-    J = np.round(rng.normal(size=(16, 16)) * 400_000)
+    J = np.round(rng.normal(size=(16, 16)) * 3_000_000)
     J = np.triu(J, 1)
     J = J + J.T
     prob = IsingProblem(J, np.zeros(16))
     assert float(1 << 24) < exact_energy_bound(J) < float(1 << 29)
+    # individual half-energies/cross terms must exceed f32's exact-int
+    # window so the f64 table stopover (not just the planes) is exercised
+    from nmc_tpu.exact import _b_tables, _split
+    a, b = _split(J, np.zeros(16))
+    EBchk, CBTchk = _b_tables(J, np.zeros(16), a, b, dtype=np.float64)
+    assert max(np.abs(EBchk).max(), np.abs(CBTchk).max()) > float(1 << 24)
     e_h, _ = solve_exact_host(prob)
     e_p, s_p = solve_exact_pallas(prob, block_a=64, block_b=128,
                                   interpret=True, planes="on")
