@@ -18,7 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROOT = "/root/reference/NPT/examples/wishart_small"
+ROOTS = ["/root/reference/NPT/examples/wishart_small",
+         "/root/reference/NMC/examples/contrived_wishart_backbone"]
 
 
 def main(argv=None):
@@ -38,12 +39,16 @@ def main(argv=None):
         with open(args.out) as f:
             done = {json.loads(line)["folder"] for line in f}
 
-    folders = sorted(glob.glob(os.path.join(ROOT, "wishart_planting_N_*")))
+    folders = sorted(f for r in ROOTS
+                 for f in glob.glob(os.path.join(r, "wishart_planting_N_*"))
+                 if os.path.isdir(f))
     total = matches = 0
     for folder in folders:
         m = re.search(r"N_(\d+)", folder)
         n = int(m.group(1))
         base = os.path.basename(folder)
+        if "contrived_wishart_backbone" in folder:
+            base = "cwb_" + base   # same names exist in both roots
         if n > args.max_n or base in done:
             continue
         t0 = time.perf_counter()

@@ -24,7 +24,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROOT = "/root/reference/NPT/examples/wishart_small"
+ROOTS = ["/root/reference/NPT/examples/wishart_small",
+         "/root/reference/NMC/examples/contrived_wishart_backbone"]
 
 
 def main(argv=None):
@@ -62,12 +63,15 @@ def main(argv=None):
         with open(args.out) as f:
             done = {json.loads(line)["folder"] for line in f}
 
-    folders = sorted(glob.glob(os.path.join(ROOT, "wishart_planting_N_*")),
-                     key=lambda p: (int(re.search(r"N_(\d+)", p).group(1)),
-                                    p))
+    folders = sorted((f for r in ROOTS
+                  for f in glob.glob(os.path.join(r, "wishart_planting_N_*"))
+                  if os.path.isdir(f)),
+                 key=lambda p: (int(re.search(r"N_(\d+)", p).group(1)), p))
     for folder in folders:
         n = int(re.search(r"N_(\d+)", folder).group(1))
         base = os.path.basename(folder)
+        if "contrived_wishart_backbone" in folder:
+            base = "cwb_" + base   # same names exist in both roots
         if not (args.min_n <= n <= args.max_n) or base in done:
             continue
         if time.perf_counter() - t_start > args.budget_s:
