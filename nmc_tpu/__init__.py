@@ -38,6 +38,7 @@ from .ops.spectral import (SpectralResult, auto_subspace_dim,
 from .exact import (exact_energy_bound, solve_exact_device,
                     solve_exact_enum, solve_exact_host,
                     solve_exact_pallas)
+from .exact_chimera import solve_exact_chimera
 from .portfolio import SolveResult, SolveStage, portfolio_solve
 
 __version__ = "0.1.0"
@@ -59,7 +60,7 @@ __all__ = [
     "Presolve", "peel_leaves",
     "SolveResult", "SolveStage", "portfolio_solve",
     "solve_exact_host", "solve_exact_device", "solve_exact_pallas",
-    "solve_exact_enum", "exact_energy_bound",
+    "solve_exact_enum", "exact_energy_bound", "solve_exact_chimera",
     "SpectralResult", "spectral_search", "spectral_candidates",
     "spectral_candidates_device", "auto_subspace_dim",
     "difference_map_rounding", "difference_map_rounding_device",

@@ -319,14 +319,24 @@ def cmd_exact(args):
         elif prob.n <= 40:
             backend = "device"
         else:
-            backend = "pallas"
+            # beyond the MITM tiers' reach a chimera layout is the only
+            # exact route (tropical DP, host-side, no accelerator)
+            try:
+                from .exact_chimera import chimera_layout
+                chimera_layout(np.asarray(prob.J))
+                backend = "chimera"
+            except ValueError:
+                backend = "pallas"
     if (backend == "pallas" and not args.interpret
             and jax.default_backend() == "cpu"):
         raise SystemExit(
             "the pallas tier compiles for TPU; on CPU use --backend host "
             f"(n <= 34) or --interpret (tiny n only) — got n={prob.n}")
     t0 = time.perf_counter()
-    if backend == "host":
+    if backend == "chimera":
+        from .exact_chimera import solve_exact_chimera
+        e, s = solve_exact_chimera(prob)
+    elif backend == "host":
         e, s = solve_exact_host(prob)
     elif backend == "device":
         e, s = solve_exact_device(prob, block_a=args.block_a,
@@ -549,7 +559,7 @@ def main(argv=None):
                    choices=["auto", "wishart", "chimera", "dcl",
                             "contrived"])
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "host", "device", "pallas"])
+                   choices=["auto", "host", "device", "pallas", "chimera"])
     p.add_argument("--block-a", type=int, default=512)
     p.add_argument("--block-b", type=int, default=4096)
     p.add_argument("--interpret", action="store_true",

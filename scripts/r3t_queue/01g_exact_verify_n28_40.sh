@@ -7,9 +7,9 @@
 set -x
 cd /root/repo
 rem=$(( ${DEADLINE:-9999999999} - $(date +%s) ))
-if [ "$rem" -lt 1800 ]; then echo "DEADLINE: skip exact verify n32-40"; exit 0; fi
+if [ "$rem" -lt 1800 ]; then echo "DEADLINE: skip exact verify n28-40"; exit 0; fi
 budget=$(( rem - 900 )); [ "$budget" -gt 10800 ] && budget=10800
 timeout $(( budget + 300 )) python scripts/run_exact_verify_tpu.py \
-  --min-n 32 --max-n 40 --budget-s "$budget" \
+  --min-n 28 --max-n 40 --budget-s "$budget" \
   || echo "exact verify n34-40 failed/timed out"
 echo "EXACT VERIFY N34-40 DONE"
