@@ -125,17 +125,21 @@ def solve_exact_chimera(prob, rows: Optional[int] = None,
             else:
                 g = np.zeros((16, 16))
 
-            # dp axes here: (V0..V_{W-1}, H_left)
+            # dp axes here: (V0..V_{W-1}, H_left). Reductions are kept
+            # on the LAST (contiguous) axis — argmin over a strided
+            # middle axis is several times slower in numpy.
             # stage 1: retire H_left, introduce this cell's H
-            a = dp[..., :, None] + g                        # (..., HL, H)
-            arg_h = np.argmin(a, axis=-2).astype(np.uint8)  # (..., H)
-            a = np.min(a, axis=-2)                          # (V0.., H)
+            a = dp[..., None, :] + g.T                      # (..., H, HL)
+            arg_h = np.argmin(a, axis=-1).astype(np.uint8)  # (..., H)
+            a = np.take_along_axis(a, arg_h[..., None],
+                                   axis=-1)[..., 0]         # min, (..., H)
             # stage 2: retire V_up (axis c), introduce this cell's V
             a = np.moveaxis(a, c, -1)                       # (..., H, Vup)
             arg_h = np.moveaxis(arg_h, c, -1)               # (..., H, Vup)
-            a = a[..., :, None] + u                         # (..., H, Vup, V)
-            arg_v = np.argmin(a, axis=-2).astype(np.uint8)  # (..., H, V)
-            a = np.min(a, axis=-2) + f.T                    # (..., H, V)
+            a = a[..., None, :] + u.T                       # (..., H, V, Vup)
+            arg_v = np.argmin(a, axis=-1).astype(np.uint8)  # (..., H, V)
+            a = np.take_along_axis(a, arg_v[..., None],
+                                   axis=-1)[..., 0] + f.T   # (..., H, V)
             # the H_left choice evaluated at the chosen V_up
             hl_pick = np.take_along_axis(arg_h, arg_v, axis=-1)
             packed = (arg_v << np.uint8(4)) | hl_pick       # (..., H, V)
