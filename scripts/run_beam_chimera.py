@@ -35,7 +35,12 @@ def main(argv=None):
     ap.add_argument("--family", required=True, choices=sorted(FAMILIES))
     ap.add_argument("--beam", type=int, default=18,
                     help="log2 of the beam width")
-    ap.add_argument("--orientations", type=int, default=4)
+    ap.add_argument("--orientations", type=int, default=1)
+    ap.add_argument("--refine", action="store_true",
+                    help="exact strip refinement after the beam")
+    ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--save-states", default=None,
+                    help="directory for per-instance best states")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--deadline", type=float, default=None,
                     help="epoch seconds; stop cleanly when passed")
@@ -44,7 +49,9 @@ def main(argv=None):
 
     import numpy as np
 
-    from nmc_tpu.beam_chimera import solve_beam_chimera_multi
+    from nmc_tpu.beam_chimera import (pad_to_chimera_grid,
+                                      solve_beam_chimera_multi,
+                                      solve_chimera_pipeline)
     from nmc_tpu.evaluation import (chimera_folder_instances,
                                     dcl_folder_instances)
     from nmc_tpu.io.loaders import read_otn2d_groundstates
@@ -78,9 +85,21 @@ def main(argv=None):
             target = float(prob.energy(
                 truth_states[name][1].astype(np.float64)))
         t0 = time.perf_counter()
-        e, s, info = solve_beam_chimera_multi(
-            prob, beam=1 << args.beam, orientations=args.orientations)
+        solve_prob, rows, cols, n_orig = pad_to_chimera_grid(prob)
+        if args.refine:
+            e, s, info = solve_chimera_pipeline(
+                solve_prob, rows=rows, cols=cols, beam=1 << args.beam,
+                orientations=args.orientations, window=args.window)
+        else:
+            e, s, info = solve_beam_chimera_multi(
+                solve_prob, rows=rows, cols=cols,
+                beam=1 << args.beam, orientations=args.orientations)
+        assert abs(float(prob.energy(s[:n_orig])) - e) < 1e-6
         dt = time.perf_counter() - t0
+        if args.save_states:
+            os.makedirs(args.save_states, exist_ok=True)
+            np.savetxt(os.path.join(args.save_states, name),
+                       s[:n_orig].astype(np.int8), fmt="%d")
         tol = 1e-7 * max(1.0, abs(target))
         hit = bool(e <= target + tol) if target is not None else None
         total += 1
@@ -89,6 +108,8 @@ def main(argv=None):
                "energy": e, "gs": gs, "target": target, "hit": hit,
                "better": (target is not None and e < target - tol),
                "exact": info["exact"], "seconds": round(dt, 2),
+               "refined_from": info.get("refined_from"),
+               "strip_moves": info.get("strip_moves"),
                "orientations": [o["energy"] for o in
                                 info["per_orientation"]]}
         with open(out, "a") as f:

@@ -40,6 +40,81 @@ def test_beam_small_is_valid_upper_bound():
     assert e >= e_ref - 1e-9
 
 
+def test_pad_partial_raster():
+    """A chimera raster with the last cell(s) missing (the DCL shape)
+    pads to the full rectangle without changing the optimum."""
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.beam_chimera import (pad_to_chimera_grid,
+                                      solve_beam_chimera)
+    from nmc_tpu.exact_chimera import solve_exact_chimera
+
+    full = synth_chimera(2, 3, seed=3)
+    n = full.n - 8
+    part = IsingProblem(np.asarray(full.J)[:n, :n].copy(),
+                        np.asarray(full.h)[:n].copy())
+    padded, rows, cols, n_orig = pad_to_chimera_grid(part)
+    assert (rows, cols, n_orig) == (2, 3, n)
+    e_ref, _ = solve_exact_chimera(padded, rows=rows, cols=cols)
+    e, s, _ = solve_beam_chimera(padded, rows=rows, cols=cols, beam=4096,
+                                 expand_top=4096 * 256)
+    assert abs(e - e_ref) < 1e-9
+    assert abs(float(part.energy(s[:n])) - e) < 1e-9
+
+
+def test_refine_strips_reaches_exact():
+    """Exact strip descent from a random state reaches the true optimum
+    on a 4x4 synthetic (window-3 moves jointly optimize 96 spins)."""
+    from nmc_tpu.beam_chimera import refine_strips
+    from nmc_tpu.exact_chimera import solve_exact_chimera
+
+    prob = synth_chimera(4, 4, seed=2)
+    e_ref, _ = solve_exact_chimera(prob)
+    rng = np.random.default_rng(0)
+    e, s, n_moves = refine_strips(prob, np.sign(rng.standard_normal(prob.n)),
+                                  window=3)
+    assert abs(float(prob.energy(s)) - e) < 1e-9
+    assert e <= e_ref + 1e-9
+    assert n_moves >= 1
+
+
+def test_refine_strips_fixed_point_at_optimum():
+    from nmc_tpu.beam_chimera import refine_strips
+    from nmc_tpu.exact_chimera import solve_exact_chimera
+
+    prob = synth_chimera(3, 3, seed=8)
+    e_ref, s_ref = solve_exact_chimera(prob)
+    e, s, n_moves = refine_strips(prob, s_ref, window=3)
+    assert n_moves == 0 and abs(e - e_ref) < 1e-9
+
+
+def test_device_beam_parity_int_dp():
+    """The jitted int32 device beam (CPU backend here; same program on
+    TPU) matches the dense exact DP on a rational-coupling chimera."""
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.beam_chimera_tpu import (quantize_problem,
+                                          solve_beam_chimera_tpu)
+    from nmc_tpu.exact_chimera import solve_exact_chimera
+
+    p0 = synth_chimera(3, 2, seed=4)
+    prob = IsingProblem(np.round(np.asarray(p0.J) * 4) / 8,
+                        np.round(np.asarray(p0.h) * 4) / 8)
+    _, _, q = quantize_problem(prob)
+    assert q == 8
+    e_ref, _ = solve_exact_chimera(prob, rows=3, cols=2)
+    e, s, info = solve_beam_chimera_tpu(prob, rows=3, cols=2, beam=4096)
+    assert abs(e - e_ref) < 1e-9
+    assert abs(float(prob.energy(s)) - e) < 1e-9
+    assert info["e_int"] == int(round(e_ref * 8))
+
+
+def test_quantize_rejects_irrational():
+    from nmc_tpu.beam_chimera_tpu import quantize_problem
+
+    prob = synth_chimera(2, 2, seed=1)      # gaussian couplings
+    with pytest.raises(ValueError):
+        quantize_problem(prob, q_max=50)
+
+
 def test_multi_orientation_remap():
     """Each orientation's returned state must evaluate to its reported
     energy in the ORIGINAL index space, and the best-of must be <= the
