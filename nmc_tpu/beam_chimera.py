@@ -205,18 +205,28 @@ def solve_beam_chimera(prob, rows: Optional[int] = None,
 
 def refine_strips(prob, s, rows: Optional[int] = None,
                   cols: Optional[int] = None, window: int = 4,
-                  stride: int = 2, max_passes: int = 20):
-    """Exact large-neighborhood descent on column strips (both grid
+                  stride: Optional[int] = None, max_passes: int = 20,
+                  refine_beam: int = 1 << 16,
+                  sub_solver=None, stop_at: Optional[float] = None):
+    """Large-neighborhood descent on column strips (both grid
     orientations): freeze every spin outside a `window`-column strip,
-    solve the conditioned rows x window sub-chimera EXACTLY by the dense
-    boundary DP (16^(window+1) states), install the optimum, and sweep
-    strips until a full pass over both orientations improves nothing.
+    solve the conditioned rows x window sub-chimera by the tropical
+    boundary DP — EXACTLY (dense 16^(w+1)-state DP) for window <= 4,
+    by the beam DP (`refine_beam` states) for wider windows — install
+    the optimum if it improves, and sweep strips until a full pass over
+    both orientations improves nothing.
 
     This is the Hamze-de Freitas-Selby induced-subgraph move with the
-    tropical DP as the subgraph solver — each move optimizes
-    rows*window*8 spins (2048 variables on C16) jointly and exactly, so
-    a near-miss droplet spanning < window columns cannot survive.
-    Returns (energy, state, n_moves). Deterministic.
+    tropical DP as the subgraph solver — a window-8 move jointly
+    re-solves a C8-scale sub-problem (rows*64 spins), the size the beam
+    solves reliably outright, so droplets narrower than the window
+    cannot survive in either orientation. Moves are accepted only when
+    they lower the energy, so the descent is monotone even with the
+    heuristic beam sub-solver. Returns (energy, state, n_moves).
+    Deterministic.
+
+    `sub_solver(sub_prob, rows, cols) -> (e, s)` overrides the strip
+    solver (e.g. the jitted TPU beam from beam_chimera_tpu).
     """
     from .core.problem import IsingProblem
     from .exact_chimera import solve_exact_chimera
@@ -227,6 +237,8 @@ def refine_strips(prob, s, rows: Optional[int] = None,
     s = np.asarray(s, np.float64).copy()
     e = float(prob.energy(s))
     n_moves = 0
+    if stride is None:
+        stride = max(1, window // 2)
 
     for _ in range(max_passes):
         improved = False
@@ -253,7 +265,13 @@ def refine_strips(prob, s, rows: Optional[int] = None,
                          @ so[frozen])
                 sub = IsingProblem(
                     Jo[np.ix_(cols_sel, cols_sel)].copy(), h_eff)
-                e_sub, s_sub = solve_exact_chimera(sub, rows=R, cols=w)
+                if sub_solver is not None:
+                    e_sub, s_sub = sub_solver(sub, R, w)
+                elif w <= 4:
+                    e_sub, s_sub = solve_exact_chimera(sub, rows=R, cols=w)
+                else:
+                    e_sub, s_sub, _ = solve_beam_chimera(
+                        sub, rows=R, cols=w, beam=refine_beam)
                 cur = float(sub.energy(so[cols_sel]))
                 if e_sub < cur - 1e-9:
                     so[cols_sel] = s_sub
@@ -265,7 +283,7 @@ def refine_strips(prob, s, rows: Optional[int] = None,
         e_new = float(prob.energy(s))
         assert e_new <= e + 1e-6, "strip refinement increased energy"
         e = e_new
-        if not improved:
+        if not improved or (stop_at is not None and e <= stop_at):
             break
     return e, s, n_moves
 
@@ -278,18 +296,18 @@ def solve_chimera_pipeline(prob, rows: Optional[int] = None,
     """Beam contraction + exact strip refinement. Returns
     (energy, state, info); deterministic, host-only.
 
-    window=None picks 4 columns on grids up to width 8 (the 16^5-state
-    sub-DP is cheap there) and 3 on wider grids, where a window-4 pass
-    costs ~2.5 s/cell and a window-3 pass is 16x cheaper."""
+    window=None picks exact window-4 strips on grids up to width 8 and
+    beam-solved window-8 strips (C8-scale sub-problems, the size the
+    beam cracks outright) on wider grids."""
     e0, s, info = solve_beam_chimera_multi(prob, rows=rows, cols=cols,
                                            beam=beam,
                                            orientations=orientations)
     if info.get("exact"):
         return e0, s, dict(info, refined_from=e0, strip_moves=0)
     if window is None:
-        window = 4 if np.asarray(prob.J).shape[0] <= 8 * 64 else 3
+        window = 4 if np.asarray(prob.J).shape[0] <= 8 * 64 else 8
     e, s, n_moves = refine_strips(prob, s, rows=rows, cols=cols,
-                                  window=window)
+                                  window=window, refine_beam=beam)
     return e, s, dict(info, refined_from=e0, strip_moves=n_moves)
 
 

@@ -24,6 +24,7 @@ groundstates_otn2d.txt (the reference repo has no solver for them).
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -169,6 +170,27 @@ def _build_step(M, G, W):
     return step
 
 
+@lru_cache(maxsize=32)
+def _get_runner(M, G, W):
+    """One jitted scan program per (beam, grid-width) shape — reused
+    across instances and window sub-solves so the 30-130 s axon compile
+    is paid once per shape, not per call."""
+    import jax
+    import jax.numpy as jnp
+
+    step = _build_step(M, G, W)
+
+    @jax.jit
+    def run(trans_dev, c_seq, zero_v, zero_h):
+        groups0 = jnp.zeros((M, G), jnp.int32)
+        E0 = jnp.full((M,), _INF, jnp.int32).at[0].set(0)
+        (g_fin, E_fin), (parents, combos) = jax.lax.scan(
+            step, (groups0, E0), (trans_dev, c_seq, zero_v, zero_h))
+        return E_fin, parents, combos
+
+    return run
+
+
 def solve_beam_chimera_tpu(prob, rows: Optional[int] = None,
                            cols: Optional[int] = None,
                            beam: int = 1 << 17,
@@ -191,20 +213,9 @@ def solve_beam_chimera_tpu(prob, rows: Optional[int] = None,
     zero_v = (r_seq == rows - 1)
     zero_h = (c_seq == W - 1)
 
-    groups0 = jnp.zeros((M, G), jnp.int32)
-    E0 = jnp.full((M,), _INF, jnp.int32).at[0].set(0)
-
-    step = _build_step(M, G, W)
-
-    @jax.jit
-    def run(trans_dev):
-        xs = (trans_dev, jnp.asarray(c_seq), jnp.asarray(zero_v),
-              jnp.asarray(zero_h))
-        (g_fin, E_fin), (parents, combos) = jax.lax.scan(
-            step, (groups0, E0), xs)
-        return E_fin, parents, combos
-
-    E_fin, parents, combos = run(jnp.asarray(trans))
+    run = _get_runner(M, G, W)
+    E_fin, parents, combos = run(jnp.asarray(trans), jnp.asarray(c_seq),
+                                 jnp.asarray(zero_v), jnp.asarray(zero_h))
     E_fin = np.asarray(E_fin)
     parents = np.asarray(parents)                 # [cells, M]
     combos = np.asarray(combos)
