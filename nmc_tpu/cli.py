@@ -367,6 +367,69 @@ def cmd_exact(args):
     return 0
 
 
+def cmd_beam(args):
+    """Deterministic tropical beam contraction (+ exact strip
+    refinement) for chimera-raster instances — solves the families whose
+    shipped truths are external tnac4o artifacts (reference ships
+    groundstates_otn2d.txt but no solver; NMC/examples/
+    Chimera_droplet_instances). DCL rasters are padded automatically."""
+    import time
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from .beam_chimera import (pad_to_chimera_grid, refine_strips,
+                               solve_chimera_pipeline)
+
+    prob, target, kind, base = _detect_instance(args.path, args.kind,
+                                                None)
+    solve_prob, rows, cols, n_orig = pad_to_chimera_grid(prob)
+    t0 = time.perf_counter()
+    if args.device:
+        from .beam_chimera_tpu import solve_beam_chimera_tpu
+        e, s, info = solve_beam_chimera_tpu(solve_prob, rows=rows,
+                                            cols=cols,
+                                            beam=1 << args.beam)
+        if args.refine:
+            sub = (lambda sp, R, w: solve_beam_chimera_tpu(
+                sp, rows=R, cols=w, beam=1 << max(4, args.beam - 1))[:2])
+            e, s, moves = refine_strips(solve_prob, s, rows=rows,
+                                        cols=cols,
+                                        window=args.window or 8,
+                                        sub_solver=sub)
+            info = dict(info, strip_moves=moves)
+    elif args.refine:
+        e, s, info = solve_chimera_pipeline(
+            solve_prob, rows=rows, cols=cols, beam=1 << args.beam,
+            orientations=args.orientations, window=args.window)
+    else:
+        from .beam_chimera import solve_beam_chimera_multi
+        e, s, info = solve_beam_chimera_multi(
+            solve_prob, rows=rows, cols=cols, beam=1 << args.beam,
+            orientations=args.orientations)
+    wall = time.perf_counter() - t0
+    e = float(prob.energy(np.asarray(s)[:n_orig]))
+    tol = 1e-6 * max(1.0, abs(target)) if target is not None else None
+    rec = dict(name=base, n=prob.n, kind=kind, rows=rows, cols=cols,
+               beam=args.beam, energy_raw=e,
+               exact=bool(info.get("exact", False)),
+               strip_moves=info.get("strip_moves"),
+               wall_seconds=round(wall, 3),
+               shipped_target=target if (target is None
+                                         or np.isfinite(target)) else None,
+               reaches_shipped=(None if target is None
+                                or not np.isfinite(target)
+                                else bool(e <= target + tol)))
+    line = json.dumps(rec)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+    if args.save_state:
+        np.savetxt(args.save_state, np.asarray(s)[:n_orig], fmt="%+d")
+    return 0
+
+
 def cmd_generate(args):
     from .io import generators, writers
 
@@ -572,6 +635,28 @@ def main(argv=None):
     p.add_argument("--out", help="append the JSON record here")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(fn=cmd_exact)
+
+    p = sub.add_parser(
+        "beam",
+        help="deterministic tropical beam contraction for chimera-"
+             "raster instances (C4..C16, DCL) + exact strip refinement")
+    p.add_argument("path", help="instance file (edge-list dialects)")
+    p.add_argument("--kind", default="auto",
+                   choices=["auto", "wishart", "chimera", "dcl",
+                            "contrived"])
+    p.add_argument("--beam", type=int, default=16,
+                   help="log2 of the beam width")
+    p.add_argument("--orientations", type=int, default=1)
+    p.add_argument("--no-refine", dest="refine", action="store_false",
+                   help="skip the strip-refinement stage")
+    p.add_argument("--window", type=int, default=None,
+                   help="refinement strip width in cells (default auto)")
+    p.add_argument("--device", action="store_true",
+                   help="run the int32 beam DP on the accelerator")
+    p.add_argument("--save-state", help="write the best state here")
+    p.add_argument("--out", help="append the JSON record here")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(fn=cmd_beam)
 
     p = sub.add_parser("generate", help="write benchmark instances")
     p.add_argument("--kind", required=True,

@@ -3,10 +3,15 @@ overflows, dominance-dedup validity at small beams, and orientation
 remapping correctness. The large-family hit-rate evidence lives in
 results/beam_*.jsonl (scripts/run_beam_chimera.py)."""
 
+import os
+
 import numpy as np
 import pytest
 
 from test_exact_chimera import synth_chimera
+
+CHIMERA128 = ("/root/reference/NMC/examples/Chimera_droplet_instances/"
+              "chimera128_spinglass_power")
 
 
 @pytest.mark.parametrize("rows,cols", [(2, 2), (3, 2), (2, 3)])
@@ -113,6 +118,27 @@ def test_quantize_rejects_irrational():
     prob = synth_chimera(2, 2, seed=1)      # gaussian couplings
     with pytest.raises(ValueError):
         quantize_problem(prob, q_max=50)
+
+
+@pytest.mark.skipif(not os.path.isdir(CHIMERA128),
+                    reason="reference chimera128 not present")
+def test_beam_cli(tmp_path):
+    import json
+
+    from nmc_tpu.cli import main
+
+    inst = os.path.join(CHIMERA128, "001.txt")
+    out = str(tmp_path / "beam.jsonl")
+    state_f = str(tmp_path / "s.txt")
+    rc = main(["beam", inst, "--beam", "8", "--no-refine",
+               "--out", out, "--save-state", state_f])
+    assert rc == 0
+    rec = json.loads(open(out).readline())
+    assert (rec["rows"], rec["cols"]) == (4, 4)
+    assert rec["shipped_target"] == -210.933333
+    assert rec["energy_raw"] >= rec["shipped_target"] - 1e-4
+    s = np.loadtxt(state_f)
+    assert s.shape == (128,) and set(np.unique(s)) <= {-1.0, 1.0}
 
 
 def test_multi_orientation_remap():
