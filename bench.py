@@ -3,13 +3,24 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Headline metric (BASELINE.json): spin-flip attempts/sec/chip on a 1000-spin
-SK instance (padded to 1024). `vs_baseline` is the speedup over the
-reference's Python kernel (/root/reference/NMC/nmc.py:71-89, O(N*nnz) per
-sweep), measured live on this host for a short calibration run and scaled
-to the same attempt count.
+Headline metric (BASELINE.json north star): spin-flip attempts/sec/chip
+on the graph-colored Pallas sweep kernel — measured on a SHIPPED
+instance (chimera512 001.txt) with replicas batched along the lane
+dimension. `vs_baseline` is the speedup over the reference's Python
+kernel (/root/reference/NMC/nmc.py:71-89, per-spin full J@m + h),
+measured live on this host on the SAME instance and scaled to the same
+attempt count.
 
-Flags: --quick (smaller run), --sweep (print a table of configs to stderr).
+Timing discipline: every capture ends in a scalar device->host fetch.
+jax.block_until_ready through the axon tunnel has been observed
+returning before the computation completes (results/bench_tune.json
+recorded capture times implying >370 TFLOP/s on a v5e — above bf16
+peak), which inflated the r1/r2 artifacts (1.14e11 / 7.6e10) by 10-100x;
+the forced-sync rate of the same XLA SK config is 1.1e9. The honest
+north-star numbers live in results/bench_honest*.json and
+docs/BENCHMARKS.md.
+
+Flags: --quick (smaller run), --sweep (stderr table of configs).
 """
 
 import argparse
@@ -19,64 +30,64 @@ import time
 
 import numpy as np
 
+CHIMERA512 = ("/root/reference/NMC/examples/Chimera_droplet_instances/"
+              "chimera512_spinglass_power/001.txt")
 
-def measure_tpu(n=1024, replicas=256, sweeps=64, iters=3, block_size=128,
-                within_block="sequential", precision="default"):
+
+def _flagship_problem(n_fallback=512):
+    import os
+
+    from nmc_tpu.io.loaders import load_chimera
+    from nmc_tpu.io.generators import chimera_graph
+
+    if os.path.exists(CHIMERA512):
+        return load_chimera(CHIMERA512).normalized()[0]
+    return chimera_graph(8, 8, seed=0).normalized()[0]
+
+
+def measure_tpu(replicas=2048, sweeps=1024, iters=4, reps=5,
+                backend="pallas", precision="highest"):
     import jax
     import jax.numpy as jnp
 
-    from nmc_tpu.io.generators import random_sk
     from nmc_tpu.ops.engine import SweepEngine
-    from nmc_tpu.ops.sweeps import run_sweeps
 
-    prob = random_sk(n, seed=0).normalized()[0]
-    engine = SweepEngine(prob, block_size=block_size,
-                         within_block=within_block, precision=precision)
-    key = jax.random.PRNGKey(0)
-    m = engine.init_states(key, replicas)
-    phi = engine.fields(m)
-    beta_sweep = jnp.full((sweeps,), 2.0, jnp.float32)
-    ones = jnp.ones((), jnp.float32)
-    mask = jnp.broadcast_to(engine.active, (replicas, engine.n_pad))
-
-    def step(m, phi, key):
-        res = run_sweeps(engine.J_rows, engine.J_diag, engine.h, m, phi, key,
-                         beta_sweep, ones, mask, num_sweeps=sweeps,
-                         within_block=engine.within_block,
-                         block_order="fixed", record_m=False,
+    prob = _flagship_problem()
+    if jax.default_backend() == "cpu" and backend == "pallas":
+        backend = "xla"          # CPU smoke path; the artifact runs on TPU
+    engine = SweepEngine(prob, use_coloring=True, backend=backend,
                          precision=precision)
-        return res.m, res.phi
+    m = engine.init_states(jax.random.PRNGKey(0), replicas)
 
-    # warmup/compile
-    m, phi = step(m, phi, jax.random.PRNGKey(1))
-    jax.block_until_ready(m)
+    def step(m, k):
+        return engine.run(m, k, num_sweeps=sweeps, beta=2.0,
+                          blocked_input=True, blocked_output=True).m
 
-    # median of k repeated timed captures: the shared axon tunnel has
-    # 2x run-to-run variance (docs/BENCHMARKS.md), a single capture is
-    # not a stable artifact (VERDICT round 1 #9)
+    m = step(m, jax.random.PRNGKey(1))
+    float(jnp.sum(m))            # full sync after warmup/compile
     samples = []
-    for rep in range(5):
+    for rep in range(reps):
         t0 = time.perf_counter()
         for i in range(iters):
-            m, phi = step(m, phi, jax.random.PRNGKey(2 + rep * iters + i))
-        jax.block_until_ready(m)
+            m = step(m, jax.random.PRNGKey(2 + rep * iters + i))
+        sync = float(jnp.sum(m))   # forced transfer = real completion
         samples.append(time.perf_counter() - t0)
+        assert sync == sync
     dt = float(np.median(samples))
-    attempts = iters * sweeps * replicas * prob.n  # true spins only
+    attempts = iters * sweeps * replicas * prob.n   # true spins only
     return attempts / dt, dt
 
 
-def measure_reference_python(n=1024, budget_s=2.0):
-    """Reference kernel cost: per-spin full J@m + h (nmc.py:86), measured
-    on this host and converted to attempts/sec."""
-    rng = np.random.RandomState(0)
-    J = rng.randn(n, n)
-    J = 0.5 * (J + J.T)
-    np.fill_diagonal(J, 0.0)
-    J /= np.abs(J).max()
+def measure_reference_python(budget_s=2.0):
+    """Reference kernel cost on the SAME flagship instance: per-spin
+    full J@m + h (nmc.py:86), converted to attempts/sec."""
     from scipy.sparse import csr_matrix
-    Js = csr_matrix(J)
-    h = np.zeros((n, 1))
+
+    prob = _flagship_problem()
+    n = prob.n
+    rng = np.random.RandomState(0)
+    Js = csr_matrix(np.asarray(prob.J))
+    h = np.asarray(prob.h).reshape(n, 1)
     m = np.sign(rng.rand(n, 1) - 0.5)
     beta = 2.0
     t0 = time.perf_counter()
@@ -93,7 +104,7 @@ def measure_reference_python(n=1024, budget_s=2.0):
 def _tpu_watchdog(timeout_s=240):
     """Fail FAST (exit 1, stderr note) when the axon tunnel is
     unreachable, instead of hanging the caller: backend init blocks
-    indefinitely during tunnel outages (observed 2026-08-17, ~2 h), and
+    indefinitely during tunnel outages (observed 2026-08-17, ~16 h), and
     a hung bench stalls whoever invoked it. Probe in a subprocess so the
     hang cannot leak into this process."""
     import subprocess
@@ -121,25 +132,24 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--replicas", type=int, default=None)
-    ap.add_argument("--n", type=int, default=1024)
     args = ap.parse_args()
 
     if args.quick:
-        n, reps, sweeps, iters = 256, 64, 16, 2
+        reps, sweeps, iters = 256, 64, 2
     else:
-        n, reps, sweeps, iters = args.n, args.replicas or 512, 64, 20
+        reps, sweeps, iters = args.replicas or 2048, 1024, 4
 
     if args.sweep:
-        for r in (64, 128, 256, 512):
-            for wb in ("sequential", "jacobi"):
-                fps, dt = measure_tpu(n=n, replicas=r, sweeps=sweeps,
-                                      iters=2, within_block=wb)
-                print(f"  n={n} R={r} {wb}: {fps:.3e} attempts/s ({dt:.2f}s)",
+        for r in (512, 1024, 2048):
+            for be in ("pallas", "xla"):
+                fps, dt = measure_tpu(replicas=r, sweeps=256, iters=2,
+                                      backend=be)
+                print(f"  R={r} {be}: {fps:.3e} attempts/s ({dt:.2f}s)",
                       file=sys.stderr)
 
-    flips_per_sec, _ = measure_tpu(n=n, replicas=reps, sweeps=sweeps,
+    flips_per_sec, _ = measure_tpu(replicas=reps, sweeps=sweeps,
                                    iters=iters)
-    ref_rate = measure_reference_python(n=n, budget_s=1.5)
+    ref_rate = measure_reference_python(budget_s=1.5)
 
     print(json.dumps({
         "metric": "spin_flip_attempts_per_sec_per_chip",

@@ -61,7 +61,8 @@ def main(argv=None):
     done = set()
     if os.path.exists(out):
         with open(out) as f:
-            done = {json.loads(line)["name"] for line in f}
+            done = {r["name"] for r in map(json.loads, f)
+                    if "energy" in r}       # error records retry
 
     folder = FAMILIES[args.family]
     if args.family.startswith("dcl"):
@@ -91,12 +92,16 @@ def main(argv=None):
         solve_prob, rows, cols, n_orig = pad_to_chimera_grid(prob)
         Jq, hq, q = quantize_problem(solve_prob)
         target_int = None
-        if name in truth_states:
-            st = np.zeros(solve_prob.n, np.int64)
-            st[:n_orig] = truth_states[name][1]
-            st[n_orig:] = 1
+        truth_spins = (truth_states[name][1] if name in truth_states
+                       else np.zeros(0))
+        if truth_spins.size == n_orig:
+            st = np.ones(solve_prob.n, np.int64)
+            st[:n_orig] = truth_spins
             target_int = int_energy(Jq, hq, st)
         elif gs is not None:
+            # truth files for the big families print energies only (no
+            # spin vector); print rounding is <= 0.005 -> q*0.005 < 0.5,
+            # so the integer target is still exact
             target_int = int(round(gs * q))
 
         t0 = time.perf_counter()
@@ -104,37 +109,52 @@ def main(argv=None):
         best_e, best_s, best_int = None, None, None
         J = np.asarray(solve_prob.J, np.float64)
         h = np.asarray(solve_prob.h, np.float64)
+        err = None
         for k in range(max(1, min(2, args.orientations))):
-            if k == 0:
-                op, R, C = solve_prob, rows, cols
-                perm = np.arange(solve_prob.n)
-            else:
-                J2, h2, perm, R, C = _orient(J, h, rows, cols, True, False)
-                op = IsingProblem(J2, h2)
-            e, s2, info = solve_beam_chimera_tpu(op, rows=R, cols=C,
-                                                 beam=1 << args.beam)
-            stages.append({"stage": f"beam_o{k}", "e": e})
-            moves = 0
-            hit_now = (target_int is not None
-                       and int(round(e * q)) <= target_int)
-            if not args.no_refine and not hit_now:
-                stop = (target_int / q) + 0.5 / q \
-                    if target_int is not None else None
-                e, s2, moves = refine_strips(
-                    op, s2, rows=R, cols=C, window=args.window,
-                    sub_solver=sub_solver, stop_at=stop)
-                stages.append({"stage": f"refine_o{k}", "e": e,
-                               "moves": moves})
-            s = np.empty_like(s2)
-            s[perm] = s2
-            e_int = int_energy(Jq, hq, s)
-            if best_int is None or e_int < best_int:
-                best_e, best_s, best_int = float(prob.energy(s[:n_orig])), \
-                    s[:n_orig], e_int
-            if target_int is not None and best_int <= target_int:
+            try:
+                if k == 0:
+                    op, R, C = solve_prob, rows, cols
+                    perm = np.arange(solve_prob.n)
+                else:
+                    J2, h2, perm, R, C = _orient(J, h, rows, cols,
+                                                 True, False)
+                    op = IsingProblem(J2, h2)
+                e, s2, info = solve_beam_chimera_tpu(op, rows=R, cols=C,
+                                                     beam=1 << args.beam)
+                stages.append({"stage": f"beam_o{k}", "e": e})
+                moves = 0
+                hit_now = (target_int is not None
+                           and int(round(e * q)) <= target_int)
+                if not args.no_refine and not hit_now:
+                    stop = (target_int / q) + 0.5 / q \
+                        if target_int is not None else None
+                    e, s2, moves = refine_strips(
+                        op, s2, rows=R, cols=C, window=args.window,
+                        sub_solver=sub_solver, stop_at=stop)
+                    stages.append({"stage": f"refine_o{k}", "e": e,
+                                   "moves": moves})
+                s = np.empty_like(s2)
+                s[perm] = s2
+                e_int = int_energy(Jq, hq, s)
+                if best_int is None or e_int < best_int:
+                    best_e, best_s, best_int = \
+                        float(prob.energy(s[:n_orig])), s[:n_orig], e_int
+                if target_int is not None and best_int <= target_int:
+                    break
+            except Exception as ex:            # noqa: BLE001
+                err = f"{type(ex).__name__}: {ex}"[:300]
+                stages.append({"stage": f"beam_o{k}", "error": err})
                 break
         dt = time.perf_counter() - t0
-        if args.save_states and best_s is not None:
+        if best_s is None:
+            print(f"{name}: ERROR {err} ({dt:.0f}s)", flush=True)
+            with open(out, "a") as f:
+                f.write(json.dumps({"name": name, "family": args.family,
+                                    "beam": args.beam, "error": err,
+                                    "seconds": round(dt, 2)}) + "\n")
+            total += 1
+            continue
+        if args.save_states:
             os.makedirs(args.save_states, exist_ok=True)
             np.savetxt(os.path.join(args.save_states, name),
                        best_s.astype(np.int8), fmt="%d")
