@@ -232,8 +232,13 @@ def solve_beam_chimera_tpu(prob, rows: Optional[int] = None,
     e = float(prob.energy(s))
     if verify:
         # the DP optimizes the SNAPPED couplings; prob holds the
-        # print-rounded file values — they differ by <= nnz * 5e-7
-        nnz = int(np.count_nonzero(J)) // 2 + int(np.count_nonzero(h))
-        assert abs(e - e_q / q) <= 1e-6 * max(1.0, abs(e)) + 1e-6 * nnz, \
+        # print-rounded file values. |E_file(s) - E_snap(s)| is bounded
+        # EXACTLY by the total snap residual (|s_i s_j| = 1): chimera
+        # files round at 6 decimals (~1e-6*nnz) but DCL prints 5
+        # (0.14286 for 1/7 -> 2.9e-6/edge), so derive the bound from
+        # the actual residual instead of assuming a print precision.
+        snap = (float(np.abs(J - Jq / q).sum()) / 2.0
+                + float(np.abs(h - hq / q).sum()))
+        assert abs(e - e_q / q) <= snap + 1e-6 * max(1.0, abs(e)), \
             f"device DP/backtrack mismatch: {e_q / q} vs {e}"
     return e, s, {"beam": M, "q": q, "e_int": e_q}
