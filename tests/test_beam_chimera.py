@@ -112,6 +112,30 @@ def test_device_beam_parity_int_dp():
     assert info["e_int"] == int(round(e_ref * 8))
 
 
+def test_device_beam_5decimal_print_rounding():
+    """DCL files print k/7 couplings at FIVE decimals (0.14286), so the
+    file-vs-snapped energy gap is ~2.9e-6/edge — larger than the
+    6-decimal bound the verify assert originally assumed. The snapped
+    problem is the TRUE instance; verify must accept the residual and
+    the integer optimum must match the exact DP on the snapped problem."""
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.beam_chimera_tpu import (quantize_problem,
+                                          solve_beam_chimera_tpu)
+    from nmc_tpu.exact_chimera import solve_exact_chimera
+
+    p0 = synth_chimera(3, 2, seed=6)
+    J7 = np.round(np.asarray(p0.J) * 3.5) / 7.0   # exact k/7 couplings
+    h7 = np.round(np.asarray(p0.h) * 3.5) / 7.0
+    prob = IsingProblem(np.round(J7, 5), np.round(h7, 5))  # file print
+    Jq, hq, q = quantize_problem(prob)
+    assert q == 7
+    np.testing.assert_array_equal(Jq, np.round(J7 * 7))   # snap == truth
+    e, s, info = solve_beam_chimera_tpu(prob, rows=3, cols=2, beam=4096)
+    e_ref, _ = solve_exact_chimera(IsingProblem(J7, h7), rows=3, cols=2)
+    assert info["e_int"] == int(round(e_ref * 7))
+    assert abs(float(prob.energy(s)) - e) < 1e-9
+
+
 def test_quantize_rejects_irrational():
     from nmc_tpu.beam_chimera_tpu import quantize_problem
 
