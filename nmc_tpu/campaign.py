@@ -280,6 +280,30 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
                     init_dm=args.spectral_dm)
         print(f"spectral seeding: {C} chains x {I} instances in "
               f"{time.perf_counter() - t_s:.1f}s", flush=True)
+    elif args.init == "file":
+        # seed the coldest chains from per-instance state files
+        # (--init-states DIR/<instance-name>, one +-1 per line) — e.g.
+        # the deterministic beam solver's states, so MCMC starts inside
+        # the beam's basin instead of at infinite temperature
+        if any(ps is not None for ps in pss):
+            raise ValueError("--init file states are in the original "
+                             "index space; incompatible with --presolve")
+        C = max(1, args.init_chains)
+        seeds = []
+        for k, nm in enumerate(names):
+            st = np.sign(np.loadtxt(
+                os.path.join(args.init_states, nm)).reshape(-1))
+            if st.size != orig_n[k] or not np.all(np.abs(st) == 1.0):
+                raise ValueError(f"seed state {nm}: expected "
+                                 f"{orig_n[k]} +-1 spins, got {st.size}")
+            s = np.ones(n_max)
+            s[:st.size] = st
+            seeds.append(s)
+        m0 = np.repeat(np.asarray(seeds)[:, None, :], C, axis=1)
+        meta = dict(meta, init="file", init_chains=C,
+                    init_states=args.init_states)
+        print(f"file seeding: {C} chains x {I} instances from "
+              f"{args.init_states}", flush=True)
 
     t0 = time.perf_counter()
     state = ens.init_state(jax.random.PRNGKey(args.seed), m0=m0)
@@ -470,9 +494,12 @@ def run_arm(args):
         return
 
     if args.arm in ("pt", "nmc", "icm", "hybrid"):
+        only = (set(args.only.split(",")) if getattr(args, "only", None)
+                else None)
         pending = [(name, prob, gs) for name, prob, gs
                    in get_instances(spec, args.instances)
-                   if name not in done]
+                   if name not in done
+                   and (only is None or name in only)]
         if not pending:
             print("all instances done", flush=True)
             return
@@ -547,14 +574,22 @@ def add_campaign_args(p):
     p.add_argument("--arm",
                    choices=["pt", "nmc", "icm", "hybrid", "icm_host",
                             "spectral"])
-    p.add_argument("--init", choices=["random", "spectral"],
+    p.add_argument("--init", choices=["random", "spectral", "file"],
                    default="random",
                    help="chain initialization for the batched arms: "
                         "'spectral' seeds the --init-chains coldest "
                         "chains per instance with sign-rounded-eigenvector"
                         " descent states (ops/spectral.py) — the planted "
                         "basin of Wishart-type instances is spectrally "
-                        "visible but thermally invisible")
+                        "visible but thermally invisible; 'file' seeds "
+                        "them from --init-states DIR/<instance-name> "
+                        "(e.g. the beam solver's saved states)")
+    p.add_argument("--init-states",
+                   help="state-file directory for --init file")
+    p.add_argument("--only",
+                   help="comma-separated instance names: restrict the "
+                        "batched arms to these (e.g. another solver's "
+                        "misses)")
     p.add_argument("--init-chains", type=int, default=4,
                    help="how many coldest chains --init spectral seeds")
     p.add_argument("--init-top", type=int, default=0,

@@ -105,6 +105,44 @@ def test_campaign_init_spectral_seeding_cli(tmp_path):
         assert r["meta"]["init_chains"] == 2
 
 
+CHIMERA128 = ("/root/reference/NMC/examples/Chimera_droplet_instances/"
+              "chimera128_spinglass_power")
+
+
+@pytest.mark.skipif(not os.path.isdir(CHIMERA128),
+                    reason="reference chimera128 not present")
+def test_campaign_init_file_seeding_and_only_cli(tmp_path):
+    """--init file seeds the coldest chains from per-instance state
+    files (the beam-seeded-MCMC portfolio stage); seeding with the
+    SHIPPED ground states must hit in the first chunk. --only restricts
+    the batch to the named instances."""
+    import numpy as np
+
+    from nmc_tpu.campaign import main
+    from nmc_tpu.io.loaders import read_otn2d_groundstates
+
+    truths = read_otn2d_groundstates(
+        os.path.join(CHIMERA128, "groundstates_otn2d.txt"))
+    sdir = tmp_path / "states"
+    sdir.mkdir()
+    for nm in ("002.txt", "004.txt"):
+        np.savetxt(str(sdir / nm), truths[nm][1].astype(np.int8), fmt="%d")
+
+    out = str(tmp_path / "fs.jsonl")
+    main(["--folder", CHIMERA128, "--kind", "chimera",
+          "--instances", "5", "--only", "002.txt,004.txt",
+          "--replicas", "8", "--beta-max", "30",
+          "--chunk-rounds", "1", "--sweeps", "96",
+          "--arm", "icm", "--subreplicas", "2",
+          "--init", "file", "--init-states", str(sdir),
+          "--init-chains", "2", "--out", out])
+    recs = [json.loads(l) for l in open(out)]
+    assert sorted(r["name"] for r in recs) == ["002.txt", "004.txt"]
+    for r in recs:
+        assert r["hit"] and r["meta"]["init"] == "file"
+        assert r["rounds_completed"] == 1
+
+
 @pytest.mark.skipif(not os.path.isdir(FOLDER),
                     reason="reference wishart_small not present")
 def test_campaign_presolve_noop_on_coreful_family(tmp_path):
