@@ -39,6 +39,9 @@ from .exact import (exact_energy_bound, solve_exact_device,
                     solve_exact_enum, solve_exact_host,
                     solve_exact_pallas)
 from .exact_chimera import solve_exact_chimera
+from .beam_chimera import (pad_to_chimera_grid, refine_strips,
+                           solve_beam_chimera, solve_beam_chimera_multi)
+from .beam_chimera_tpu import solve_beam_chimera_tpu
 from .portfolio import SolveResult, SolveStage, portfolio_solve
 
 __version__ = "0.1.0"
@@ -61,6 +64,8 @@ __all__ = [
     "SolveResult", "SolveStage", "portfolio_solve",
     "solve_exact_host", "solve_exact_device", "solve_exact_pallas",
     "solve_exact_enum", "exact_energy_bound", "solve_exact_chimera",
+    "solve_beam_chimera", "solve_beam_chimera_multi",
+    "solve_beam_chimera_tpu", "refine_strips", "pad_to_chimera_grid",
     "SpectralResult", "spectral_search", "spectral_candidates",
     "spectral_candidates_device", "auto_subspace_dim",
     "difference_map_rounding", "difference_map_rounding_device",

@@ -31,13 +31,17 @@ DCL16 = "/root/reference/NMC/examples/DCL_instances/C16"
 
 
 def timeit(fn, reps=5):
-    import jax
-    jax.block_until_ready(fn())
+    # force a scalar device->host fetch per capture: block_until_ready
+    # through the axon tunnel has been observed returning before device
+    # work completes (docs/BENCHMARKS.md "TIMING CORRECTION")
+    import jax.numpy as jnp
+    float(jnp.sum(fn()))
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        s = float(jnp.sum(fn()))
         dt = time.perf_counter() - t0
+        assert s == s
         best = dt if best is None else min(best, dt)
     return best
 

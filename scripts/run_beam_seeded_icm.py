@@ -54,7 +54,7 @@ def main(argv=None):
     from nmc_tpu.campaign import main as campaign_main
     out = args.out or (f"results/campaign/{args.family}_icm_beamseed_"
                        f"{args.sweeps // 1000}k.jsonl")
-    cargs = ["--family", args.family, "--instances", "100",
+    cargs = ["--family", args.family, "--instances", "101",
              "--only", ",".join(misses),
              "--replicas", str(args.replicas),
              "--beta-max", str(args.beta_max),
