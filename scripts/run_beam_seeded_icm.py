@@ -31,6 +31,9 @@ def main(argv=None):
     ap.add_argument("--init-chains", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-covered", action="store_true",
+                    help="drop misses some other tier/run already hit "
+                         "(rescans all result artifacts)")
     args = ap.parse_args(argv)
 
     beam_out = f"results/beam_tpu_{args.family}_b{args.beam}.jsonl"
@@ -45,6 +48,16 @@ def main(argv=None):
                 os.path.join(sdir, r["name"])):
             misses.append(r["name"])
     misses = sorted(set(misses))
+    if args.skip_covered:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from coverage_report import scan_family
+        tiers = scan_family(args.family)
+        covered = set().union(*tiers.values()) if tiers else set()
+        dropped = [m for m in misses if m in covered]
+        misses = [m for m in misses if m not in covered]
+        if dropped:
+            print(f"{args.family}: skipping {len(dropped)} already-covered "
+                  f"beam misses: {','.join(dropped)}")
     if not misses:
         print(f"{args.family}: beam left no seedable misses")
         return 0
