@@ -1,0 +1,68 @@
+#!/bin/bash
+# Round-3 seg6 chain: runs after seg5 (waits on /tmp/seg5.pid), drains
+# the remaining parked r3t items on the live TPU. Resumable throughout.
+set -x
+cd /root/repo
+if [ -f /tmp/seg5.pid ]; then
+  while kill -0 "$(cat /tmp/seg5.pid)" 2>/dev/null; do sleep 60; done
+fi
+DL=${DEADLINE:-$(( $(date +%s) + 43200 ))}
+export DEADLINE=$DL
+rem() { echo $(( DL - $(date +%s) )); }
+bound() {
+  local w=$1 r; r=$(rem)
+  if [ $(( r - 660 )) -lt "$w" ]; then echo $(( r - 660 )); else echo "$w"; fi
+}
+
+# 1. Bench amortization study (parked 01iy): separates tunnel dispatch
+#    latency from chip throughput for the capture methodology.
+if [ "$(rem)" -gt 1500 ]; then
+  timeout 900 python scripts/bench_amortize.py || echo "amortize failed"
+fi
+
+# 2. LBP planes hardware A/B (parked 01iya): flip the EnsembleNMC
+#    default if planes wins like the matmul Houdayer did (2.3x).
+if [ "$(rem)" -gt 2400 ]; then
+  timeout 1800 python scripts/profile_nmc_phases.py \
+    --out results/nmc_phase_breakdown_planes.json \
+    || echo "planes A/B failed"
+fi
+
+# 3. dcl16 leftovers: whatever the seg5 hybrid fill missed, retried as
+#    beam-seeded deep ICM (states exist for every dcl16 instance).
+if [ "$(rem)" -gt 3600 ]; then
+  MISS=$(python - <<'EOF'
+import sys
+sys.path.insert(0, "scripts")
+from coverage_report import scan_family, shipped_instances, FAMILIES
+tiers = scan_family("dcl16")
+covered = set().union(*tiers.values()) if tiers else set()
+print(",".join(sorted(set(shipped_instances(FAMILIES["dcl16"])) - covered)))
+EOF
+)
+  if [ -n "$MISS" ]; then
+    timeout "$(bound 10800)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
+      python -m nmc_tpu campaign --family dcl16 --instances 100 \
+      --only "$MISS" --replicas 32 --beta-max 32 --chunk-rounds 25 \
+      --arm icm --subreplicas 2 --init file \
+      --init-states results/beam_states/dcl16 --init-chains 8 \
+      --seed 1 --trace --sweeps 5000000 \
+      --out results/campaign/dcl16_icm_beamseed_5000k.jsonl \
+      || echo "dcl16 leftovers cut"
+  fi
+fi
+
+# 4. chimera2048 beam-seeded ICM pass 2: converts the NEW beam states
+#    saved by seg5's beam resume (skip-covered drops earlier hits).
+if [ "$(rem)" -gt 3600 ]; then
+  timeout "$(bound 14400)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
+    python scripts/run_beam_seeded_icm.py --family chimera2048 \
+    --sweeps 3000000 --skip-covered \
+    --out results/campaign/chimera2048_icm_beamseed2_3000k.jsonl \
+    || echo "beamseed2 2048 cut"
+fi
+
+# 5. Wishart hardness-surface fill (parked 07): the long resumable tail.
+bash scripts/r3t_queue/parked/07_wishart_fill.sh || echo "wishart fill cut"
+
+echo "SEG6 CHAIN DONE"
