@@ -84,6 +84,25 @@ def scan_family(fam):
     return tiers
 
 
+def wishart_surface():
+    """Per-(N, alpha, arm) MCMC hardness-surface cells recorded so far
+    (results/campaign/wishart_n*_a*_<arm>.jsonl — the seg6 fill writes
+    one file per cell). Returns {cell: {"instances": I, "hits": H}}."""
+    cells = {}
+    for p in glob.glob("results/campaign/wishart_n*_a*_*.jsonl"):
+        m = re.match(r"wishart_n(\d+)_a([\d.]+)_([a-z_]+)\.jsonl",
+                     os.path.basename(p))
+        if not m:
+            continue
+        rows = [r for r in _iter_jsonl(p) if r.get("name")]
+        if rows:
+            cells[f"N{m.group(1)}_a{m.group(2)}_{m.group(3)}"] = {
+                "instances": len({r["name"] for r in rows}),
+                "hits": sum(1 for r in rows if r.get("hit")),
+            }
+    return cells
+
+
 def main():
     report = {}
     rows = []
@@ -112,6 +131,7 @@ def main():
                  "(results/exact_verify_small.jsonl, "
                  "results/campaign/spectral_dm*/, "
                  "results/inst18_enum_proof.json)"),
+        "mcmc_surface": wishart_surface(),
     }
 
     os.makedirs("results", exist_ok=True)
