@@ -171,15 +171,19 @@ def _quiesce_chains(wait_s=240,
 
 
 def main():
-    from nmc_tpu.utils.compcache import enable_compilation_cache
-    enable_compilation_cache()
-    _tpu_watchdog()
-    _quiesce_chains()
+    # Parse args BEFORE touching the device or the chain stop file, so
+    # `bench.py --help` / a mistyped flag cannot kill in-flight campaign
+    # chains (ADVICE r3).
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--replicas", type=int, default=None)
     args = ap.parse_args()
+
+    from nmc_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
+    _tpu_watchdog()
+    _quiesce_chains()
 
     if args.quick:
         reps, sweeps, iters = 256, 64, 2
@@ -204,6 +208,15 @@ def main():
         "unit": "attempts/s",
         "vs_baseline": float(f"{flips_per_sec / ref_rate:.4g}"),
     }))
+
+    # Capture done: clear the stop file so relaunched chains (the
+    # documented resume path) are not permanently blocked by a stale
+    # stop (ADVICE r3). register_chain also clears it defensively.
+    import os
+    try:
+        os.remove("/tmp/nmc_chain_stop")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -309,6 +309,7 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     state = ens.init_state(jax.random.PRNGKey(args.seed), m0=m0)
     rounds_done = 0
     hit_at = {}           # name -> (rounds, seconds)
+    streamed = set()      # names whose FINAL row is already on disk
     best64 = np.full(I, np.inf)
     best_m = [None] * I   # normalized padded-core state at best64 (f64)
     trace_path = out_path + ".trace" if getattr(args, "trace", False) else None
@@ -329,6 +330,28 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
                 hit_at[names[i]] = (rounds_done, now)
                 print(f"  hit {names[i]} at round {rounds_done} "
                       f"({now:.1f}s)", flush=True)
+                # Stream the hit to the FINAL out file at discovery: a
+                # killed / deadline-cut batch keeps its hits and a
+                # relaunch skips them, instead of losing them with the
+                # superseded .partial snapshot (round-3 dcl16 10-19 lost
+                # 7 in-flight hits exactly this way,
+                # scripts/r3s4_queue/01_dcl16_fill.log).
+                with open(out_path, "a") as f:
+                    f.write(json.dumps(dict(
+                        name=names[i], n=orig_n[i],
+                        gs_raw=_num(gs_norm[i] * factors[i] + consts[i]),
+                        found_raw=_num(best64[i] * factors[i] + consts[i]),
+                        residual=_num((best64[i] - gs_norm[i])
+                                      * factors[i]),
+                        hit=True, hit_seconds=now,
+                        hit_sweeps=rounds_done * sweeps_per_round,
+                        rounds_completed=rounds_done,
+                        rounds_total=total_rounds,
+                        per_swap=sweeps_per_round, wall_seconds=now,
+                        meta=dict(meta, mode="ensemble", batch=I,
+                                  streamed_hit=True),
+                    )) + "\n")
+                streamed.add(names[i])
         if trace_path:
             # per-chunk residual curve (raw units) for TTS/convergence
             # analysis — how close each unsolved instance is vs sweeps
@@ -382,8 +405,9 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
             per_swap=sweeps_per_round, wall_seconds=wall,
             meta=dict(meta, mode="ensemble", batch=I),
         )
-        with open(out_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        if name not in streamed:   # hit rows were appended at discovery
+            with open(out_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         res_str = ("n/a" if rec["residual"] is None
                    else f"{rec['residual']:.4f}")
         print(f"{name}: hit={hit} residual={res_str} "

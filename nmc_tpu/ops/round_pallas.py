@@ -424,6 +424,14 @@ def pallas_ensemble_round_streamed(
     )
     m, m_best, e_best, e_carried = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
+        # Mosaic's default scoped-VMEM stack limit (16 MiB) is exceeded
+        # by kernel-internal temporaries at DCL-C16 shapes (n_pad=2304:
+        # 20.89 MiB measured, r3t_queue/10_lbp_planes_ab.log) — the
+        # explicit blocks above are only ~3.4 MiB, the rest is the
+        # unrolled phase loop's live ranges. v5e has 128 MiB VMEM/core;
+        # raise the per-kernel cap well above the observed need.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         _seed2(seed),
@@ -510,6 +518,9 @@ def pallas_ensemble_round(
     )
     m, m_best, e_best, e_carried = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
+        # same scoped-VMEM headroom as the streamed variant (see above)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         _seed2(seed),

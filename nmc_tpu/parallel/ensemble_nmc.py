@@ -142,22 +142,33 @@ class EnsembleNMC:
         self.edge_graph = None
         self.edge_w = None
         self.edge_slots = None
-        if self.any_nmc and cfg.lbp_mode == "planes":
-            # opt-in scatter-free slotted-edge LBP (ops/lbp_planes): the
-            # union topology's static gathers become one-hot matmuls at
+        if self.any_nmc and cfg.lbp_mode in ("planes", "auto"):
+            # scatter-free slotted-edge LBP (ops/lbp_planes): the union
+            # topology's static gathers become one-hot matmuls at
             # Precision.HIGHEST; per-instance couplings live in w[n, D]
-            # slots. Raises on dense families (degree cap), mirroring
-            # the engines' no-silent-fallback policy.
+            # slots. DEFAULT under 'auto' since the round-4 hardware A/B
+            # measured 5.3x the full NMC round / 37x the LBP stage at
+            # DCL-C16 shapes (results/nmc_phase_breakdown_planes.json).
+            # Bounded-degree families only: explicit 'planes' RAISES past
+            # the degree cap (no-silent-fallback policy); 'auto' falls
+            # through to the edge-list/dense routing below.
             from ..ops.lbp_planes import (build_edge_slot_planes,
                                           w_slot_from_tiles)
             col_idx_u, J_tiles_u = _union_tiles(blocked)
-            esp = build_edge_slot_planes(col_idx_u,
-                                         np.any(J_tiles_u != 0, axis=0))
-            self.edge_slots = esp
-            w = np.stack([w_slot_from_tiles(esp, J_tiles_u[i])
-                          for i in range(self.I)])
-            self.edge_w = jax.device_put(jnp.asarray(w, dtype), inst)
-        elif self.any_nmc and cfg.lbp_mode != "dense":
+            try:
+                esp = build_edge_slot_planes(
+                    col_idx_u, np.any(J_tiles_u != 0, axis=0))
+            except ValueError:
+                if cfg.lbp_mode == "planes":
+                    raise
+                esp = None
+            if esp is not None:
+                self.edge_slots = esp
+                w = np.stack([w_slot_from_tiles(esp, J_tiles_u[i])
+                              for i in range(self.I)])
+                self.edge_w = jax.device_put(jnp.asarray(w, dtype), inst)
+        if (self.any_nmc and self.edge_slots is None
+                and cfg.lbp_mode != "dense"):
             from ..ops.lbp_sparse import EdgeGraph
             J_sq = [np.asarray(b.J_rows).reshape(self.n_pad, self.n_pad)
                     for b in blocked]

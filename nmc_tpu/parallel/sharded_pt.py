@@ -65,12 +65,14 @@ class ShardedNPTConfig:
                              # (EnsembleNMC; the reference's cadence is one
                              # LBP per swap round, npt.py:397-414 — short
                              # TTS-granularity rounds can refresh less often)
-    lbp_mode: str = "auto"   # 'dense' | 'sparse' | 'auto' (sparse above 1024
-                             # spins: dense [N,N] messages blow memory) |
-                             # 'planes' (opt-in, EnsembleNMC + ShardedNPT:
-                             # scatter-free slotted-edge LBP via one-hot
-                             # matmuls, ops/lbp_planes; raises on dense
-                             # families)
+    lbp_mode: str = "auto"   # 'dense' | 'sparse' | 'planes' (scatter-free
+                             # slotted-edge LBP via one-hot matmuls,
+                             # ops/lbp_planes; raises past the degree cap)
+                             # | 'auto': planes when the degree cap holds
+                             # (r4 hardware A/B: 5.3x the full NMC round,
+                             # results/nmc_phase_breakdown_planes.json),
+                             # else sparse above 1024 spins (dense [N,N]
+                             # messages blow memory), else dense
     block_size: int = 128
     within_block: str = "sequential"
     use_coloring: bool = False   # graph-colored blocks -> exact Jacobi updates
@@ -163,18 +165,28 @@ class ShardedNPT:
         self.edge_graph = None
         self.edge_slots = None
         self._w_slot = None
-        if self.any_nmc and cfg.lbp_mode == "planes":
-            # opt-in scatter-free slotted-edge LBP (ops/lbp_planes; see
-            # EnsembleNMC for the rationale and the degree-cap policy)
+        if self.any_nmc and cfg.lbp_mode in ("planes", "auto"):
+            # scatter-free slotted-edge LBP (ops/lbp_planes; see
+            # EnsembleNMC for the rationale). DEFAULT under 'auto' since
+            # the round-4 hardware A/B (5.3x full round / 37x LBP stage,
+            # results/nmc_phase_breakdown_planes.json); explicit 'planes'
+            # raises past the degree cap, 'auto' falls back to the
+            # edge-list path.
             from ..core.problem import block_sparse_tiles
             from ..ops.lbp_planes import (build_edge_slot_planes,
                                           w_slot_from_tiles)
             col_idx_s, J_tiles_s = block_sparse_tiles(b)
-            esp = build_edge_slot_planes(col_idx_s, J_tiles_s != 0)
-            self.edge_slots = esp
-            self._w_slot = jnp.asarray(w_slot_from_tiles(esp, J_tiles_s),
-                                       dtype)
-        elif self.any_nmc and self.lbp_sparse:
+            try:
+                esp = build_edge_slot_planes(col_idx_s, J_tiles_s != 0)
+            except ValueError:
+                if cfg.lbp_mode == "planes":
+                    raise
+                esp = None
+            if esp is not None:
+                self.edge_slots = esp
+                self._w_slot = jnp.asarray(
+                    w_slot_from_tiles(esp, J_tiles_s), dtype)
+        if self.any_nmc and self.edge_slots is None and self.lbp_sparse:
             from ..ops.lbp_sparse import EdgeGraph
             g = EdgeGraph.from_dense(self._dense_J_np())
             self.edge_graph = g

@@ -14,7 +14,21 @@
 STOP=/tmp/nmc_chain_stop
 
 register_chain() {
-  echo $$ >> /tmp/nmc_chain.pids
+  # A fresh chain launch is explicit operator intent to run: clear any
+  # stale stop file left by a finished bench capture (ADVICE r3 —
+  # otherwise every relaunched chain exits at its first check_stop).
+  rm -f "$STOP"
+  # Rewrite the pid file keeping only still-alive pids, then append
+  # ourselves — bounds PID-reuse confusion in bench's _quiesce_chains.
+  local f=/tmp/nmc_chain.pids live="" p
+  if [ -f "$f" ]; then
+    while read -r p; do
+      [ -n "$p" ] && kill -0 "$p" 2>/dev/null && live="$live$p
+"
+    done < "$f"
+  fi
+  printf '%s' "$live" > "$f"
+  echo $$ >> "$f"
 }
 
 check_stop() {

@@ -4,7 +4,9 @@ Runs the round_kernel='on' path on the real chip against the XLA round at
 matched configs (same problem, ladder, doNMC, budgets) and checks:
   1. contract: finite slot energies, +/-1 spins, valid label permutation,
      e_best consistent with an f64 re-evaluation of m_best;
-  2. statistical parity: per-beta mean carried energies of kernel vs XLA
+  2. distributional z-test: per-beta mean carried energies of kernel vs XLA
+     (different RNG streams by construction -- NOT draw-for-draw parity;
+     that configuration is covered by the CPU interpret tests)
      rounds agree within cross-seed scatter (the two paths use different
      RNG streams, so draw-for-draw equality is impossible by design);
   3. throughput of both paths (attempts/s) on a chimera512 instance.
@@ -80,7 +82,7 @@ def main():
         f"e_best {e64} vs f64 re-eval {e_re}")
     out["contract"] = {"e_best_f32": e64, "e_best_f64_reeval": e_re}
 
-    # ---- statistical parity: per-beta mean carried energy ------------
+    # ---- distributional z-test: per-beta mean carried energy ---------
     # (use the second half of the rounds, after burn-in; 3 seeds per path)
     def beta_means(pt):
         ms = []
@@ -96,7 +98,7 @@ def main():
     diff = mk.mean(0) - mx.mean(0)
     scatter = np.sqrt(mk.std(0) ** 2 + mx.std(0) ** 2) + 1e-6
     z = np.abs(diff) / np.maximum(scatter, 0.05 * np.abs(mx.mean(0)) + 1e-6)
-    out["parity"] = {
+    out["distributional_check"] = {  # kept key "parity" before r4
         "mean_abs_diff": float(np.abs(diff).mean()),
         "max_z": float(z.max()),
         "kernel_mean_cold": float(mk.mean(0)[-1]),

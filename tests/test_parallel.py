@@ -273,6 +273,28 @@ class TestEnsembleNMC:
             EnsembleNMC(probs, np.geomspace(0.3, 2.0, 4),
                         [False] * 3 + [True], cfg)
 
+    def test_ensemble_nmc_auto_routes_planes(self):
+        """lbp_mode='auto' (the production default) prefers planes on
+        bounded-degree families (r4 hardware A/B: 5.3x the full round,
+        results/nmc_phase_breakdown_planes.json) and falls back to the
+        edge-list/dense paths — NOT an error — past the degree cap."""
+        from nmc_tpu.io.generators import ea_2d, random_sk
+        from nmc_tpu.parallel import EnsembleNMC
+        from nmc_tpu.parallel.sharded_pt import ShardedNPTConfig
+        beta = np.geomspace(0.3, 2.0, 4)
+        cfg = ShardedNPTConfig(sweeps_per_phase=4, num_cycles=1,
+                               use_coloring=True, block_size=16,
+                               lbp_mode="auto", lbp_max_iterations=5)
+        ens = EnsembleNMC([ea_2d(6, seed=0).normalized()[0]], beta,
+                          [False] * 3 + [True], cfg)
+        assert ens.edge_slots is not None          # bounded degree: planes
+        cfg_sk = ShardedNPTConfig(sweeps_per_phase=4, num_cycles=1,
+                                  block_size=8, lbp_mode="auto",
+                                  lbp_max_iterations=5)
+        ens_sk = EnsembleNMC([random_sk(24, seed=0).normalized()[0]], beta,
+                             [False] * 3 + [True], cfg_sk)
+        assert ens_sk.edge_slots is None           # dense family: fallback
+
     def test_ensemble_nmc_descends(self):
         from nmc_tpu.io.generators import random_sk
         from nmc_tpu.parallel import EnsembleNMC
