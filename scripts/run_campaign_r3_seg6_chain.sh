@@ -7,7 +7,12 @@ cd /root/repo
 source scripts/chainctl.sh
 register_chain
 if [ -f /tmp/seg5.pid ]; then
-  while kill -0 "$(cat /tmp/seg5.pid)" 2>/dev/null; do
+  # Validate the pid actually IS seg5 before waiting on it: a stale pid
+  # file plus PID reuse could otherwise block forever on an unrelated
+  # long-lived process (ADVICE r3).
+  P=$(cat /tmp/seg5.pid)
+  while kill -0 "$P" 2>/dev/null \
+      && grep -qa seg5 "/proc/$P/cmdline" 2>/dev/null; do
     check_stop
     sleep 60
   done
@@ -82,7 +87,22 @@ for F in $(ls -d $W/wishart_planting_N_*_alpha_* | sort -t_ -k4 -n); do
       case $A in 0.20|0.50|0.80) ;; *) continue;; esac
     fi
     O=results/campaign/wishart_n${N}_a${A}_${ARM}.jsonl
-    [ -s "$O" ] && continue
+    # Skip a cell only when it has all 20 FINAL rows — a bare [ -s ]
+    # guard would silently skip forever any cell cut mid-run by the
+    # gate/stop file (ADVICE r3); campaign's own per-instance row
+    # skipping makes the resume cheap either way.
+    python - "$O" <<'EOF' && continue
+import json, sys, os
+p = sys.argv[1]
+names = set()
+if os.path.exists(p):
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                names.add(json.loads(line).get("name"))
+sys.exit(0 if len(names) >= 20 else 1)
+EOF
     [ "$(rem)" -lt 2400 ] && { echo "DEADLINE: stopping wishart fill"; break 2; }
     case $ARM in
       icm) EXTRA="--subreplicas 2";;
