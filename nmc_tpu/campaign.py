@@ -310,6 +310,8 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
     rounds_done = 0
     hit_at = {}           # name -> (rounds, seconds)
     streamed = set()      # names whose FINAL row is already on disk
+    save_dir = getattr(args, "save_best_states", None)
+    saved64 = np.full(I, np.inf)   # energy at last checkpointed state
     best64 = np.full(I, np.inf)
     best_m = [None] * I   # normalized padded-core state at best64 (f64)
     trace_path = out_path + ".trace" if getattr(args, "trace", False) else None
@@ -388,6 +390,22 @@ def solve_ensemble_batch(pending, args, spec, meta, out_path):
                               partial=True),
                 )) + "\n")
         os.replace(tmp, out_path + ".partial")
+        if save_dir:
+            # best-state checkpoint: full-space (unpadded,
+            # back-substituted) +-1 state per instance, atomically
+            # replaced whenever its best energy improves — same file
+            # format the --init file seeder and the strip refiner read
+            os.makedirs(save_dir, exist_ok=True)
+            for i in range(I):
+                if best_m[i] is None or best64[i] >= saved64[i]:
+                    continue
+                saved64[i] = best64[i]
+                s_core = np.where(best_m[i][:core_n[i]] >= 0, 1.0, -1.0)
+                st = (pss[i].back_substitute(s_core)
+                      if pss[i] is not None else s_core)
+                tmp_s = os.path.join(save_dir, names[i] + ".tmp")
+                np.savetxt(tmp_s, st.astype(np.int8), fmt="%d")
+                os.replace(tmp_s, os.path.join(save_dir, names[i]))
     wall = time.perf_counter() - t0
 
     results = []
@@ -608,6 +626,13 @@ def add_campaign_args(p):
                         "visible but thermally invisible; 'file' seeds "
                         "them from --init-states DIR/<instance-name> "
                         "(e.g. the beam solver's saved states)")
+    p.add_argument("--save-best-states", default=None, metavar="DIR",
+                   help="checkpoint each instance's best full-space "
+                        "state to DIR/<name> every chunk it improves: a "
+                        "killed/deadline-cut run keeps its Monte Carlo "
+                        "progress (re-seed via --init file), and "
+                        "near-converged misses become inputs to the "
+                        "deterministic strip refiner")
     p.add_argument("--init-states",
                    help="state-file directory for --init file")
     p.add_argument("--only",

@@ -31,6 +31,9 @@ def main(argv=None):
     ap.add_argument("--init-chains", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--save-best-states", default=None, metavar="DIR",
+                    help="checkpoint improving best states per chunk "
+                         "(campaign --save-best-states pass-through)")
     ap.add_argument("--skip-covered", action="store_true",
                     help="drop misses some other tier/run already hit "
                          "(rescans all result artifacts)")
@@ -76,6 +79,8 @@ def main(argv=None):
              "--init-chains", str(args.init_chains),
              "--seed", str(args.seed), "--trace",
              "--sweeps", str(args.sweeps), "--out", out]
+    if args.save_best_states:
+        cargs += ["--save-best-states", args.save_best_states]
     campaign_main(cargs)
     return 0
 

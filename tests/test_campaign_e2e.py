@@ -145,6 +145,47 @@ def test_campaign_init_file_seeding_and_only_cli(tmp_path):
 
 @pytest.mark.skipif(not os.path.isdir(FOLDER),
                     reason="reference wishart_small not present")
+def test_campaign_save_best_states_checkpoint(tmp_path):
+    """--save-best-states checkpoints each instance's best full-space
+    +-1 state per improving chunk, in the exact format --init file
+    re-seeds from — so a killed deep run keeps its Monte Carlo progress
+    and near-converged misses feed the strip refiner."""
+    import numpy as np
+
+    from nmc_tpu.campaign import main
+    from nmc_tpu.evaluation import wishart_folder_instances
+
+    out = str(tmp_path / "bs.jsonl")
+    sdir = tmp_path / "best"
+    main(["--folder", FOLDER, "--kind", "wishart",
+          "--instances", "2", "--replicas", "8", "--beta-max", "8",
+          "--chunk-rounds", "3", "--sweeps", "8000", "--arm", "pt",
+          "--save-best-states", str(sdir), "--out", out])
+    recs = {json.loads(l)["name"]: json.loads(l) for l in open(out)}
+    probs = {nm: p for nm, p, _ in
+             wishart_folder_instances(FOLDER, limit=2)}
+    assert len(recs) == 2
+    for nm, r in recs.items():
+        st = np.loadtxt(str(sdir / nm))
+        assert st.shape == (probs[nm].n,) and set(np.unique(st)) <= {-1, 1}
+        # the checkpointed state's raw energy matches the recorded best
+        # (normalized problem energy * norm factor == found_raw)
+        pn, factor = probs[nm].normalized()
+        e_raw = float(pn.energy(st)) * factor
+        assert abs(e_raw - r["found_raw"]) <= 1e-6 * max(1, abs(e_raw))
+
+    # the checkpoints round-trip through --init file seeding
+    out2 = str(tmp_path / "bs2.jsonl")
+    main(["--folder", FOLDER, "--kind", "wishart",
+          "--instances", "2", "--replicas", "8", "--beta-max", "8",
+          "--chunk-rounds", "1", "--sweeps", "200", "--arm", "pt",
+          "--init", "file", "--init-states", str(sdir),
+          "--init-chains", "2", "--out", out2])
+    assert len([l for l in open(out2)]) == 2
+
+
+@pytest.mark.skipif(not os.path.isdir(FOLDER),
+                    reason="reference wishart_small not present")
 def test_campaign_presolve_noop_on_coreful_family(tmp_path):
     """--presolve on a pure-core family (no trees) is an exact no-op:
     same hits, records in original raw units."""
