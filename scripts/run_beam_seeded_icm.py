@@ -31,9 +31,14 @@ def main(argv=None):
     ap.add_argument("--init-chains", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--save-best-states", default=None, metavar="DIR",
+    ap.add_argument("--save-best-states", default="auto", metavar="DIR",
                     help="checkpoint improving best states per chunk "
-                         "(campaign --save-best-states pass-through)")
+                         "(campaign --save-best-states pass-through). "
+                         "Default 'auto' = results/best_states/<family>: "
+                         "the beamseed runs sit 1-2 integer units above "
+                         "truth for thousands of rounds, and those "
+                         "states are exactly what the strip refiner and "
+                         "later re-seeded runs need; 'off' disables")
     ap.add_argument("--skip-covered", action="store_true",
                     help="drop misses some other tier/run already hit "
                          "(rescans all result artifacts)")
@@ -79,7 +84,9 @@ def main(argv=None):
              "--init-chains", str(args.init_chains),
              "--seed", str(args.seed), "--trace",
              "--sweeps", str(args.sweeps), "--out", out]
-    if args.save_best_states:
+    if args.save_best_states == "auto":
+        args.save_best_states = f"results/best_states/{args.family}"
+    if args.save_best_states and args.save_best_states != "off":
         cargs += ["--save-best-states", args.save_best_states]
     campaign_main(cargs)
     return 0
