@@ -72,6 +72,12 @@ def scan_family(fam):
             if r.get("hit"):
                 add("beam", r["name"])
 
+    # deterministic induced-tree descent tier (nmc_tpu/tree_moves.py)
+    for p in glob.glob(f"results/tree_refine_{fam}*.jsonl"):
+        for r in _iter_jsonl(p):
+            if r.get("hit"):
+                add("tree", r["name"])
+
     # stochastic campaign arms (all seeds/budgets, incl. crash partials)
     for p in (glob.glob(f"results/campaign/{fam}_*.jsonl")
               + glob.glob(f"results/campaign/{fam}_*.jsonl.partial")):

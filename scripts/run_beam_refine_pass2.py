@@ -138,6 +138,7 @@ def main(argv=None):
         s0 = np.ones(solve_prob.n)
         s0[:n_orig] = np.sign(np.loadtxt(
             os.path.join(sdir, name)).reshape(-1))
+        e_int0 = int_energy(Jq, hq, np.where(s0 >= 0, 1, -1))
         stop = ((target_int / q) + 0.5 / q
                 if target_int is not None else None)
         t0 = time.perf_counter()
@@ -151,13 +152,18 @@ def main(argv=None):
         hit = (None if target_int is None else bool(e_int <= target_int))
         total += 1
         hits += bool(hit)
-        if hit:
+        if e_int < e_int0:
+            # persist ANY strictly-improved state, not only full hits:
+            # the state dir doubles as the beamseed-ICM seed pool, and a
+            # lower-energy deterministic seed shortens that tier's TTS
+            # even when the strip descent stops short of the truth.
             os.makedirs(sdir, exist_ok=True)
             np.savetxt(os.path.join(sdir, name),
                        np.where(s[:n_orig] >= 0, 1, -1).astype(np.int8),
                        fmt="%d")
         rec = {"name": name, "family": args.family,
                "beam": args.beam, "window": args.window,
+               "e_int_start": e_int0,
                "energy": float(prob.energy(s[:n_orig])), "e_int": e_int,
                "q": q, "gs": gs, "target_int": target_int, "hit": hit,
                "better": (target_int is not None and e_int < target_int),
