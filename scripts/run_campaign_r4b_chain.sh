@@ -94,7 +94,7 @@ for i in range(0, len(miss), 10):
 EOF
   while read -r MISS; do
     [ -z "$MISS" ] && continue
-    [ "$(rem)" -lt 3100 ] && { echo "DEADLINE: stopping dcl16 retry"; break; }
+    [ "$(rem)" -lt 1450 ] && { echo "DEADLINE: stopping dcl16 retry"; break; }
     run_gated "$(bound 2400)" env $CAP \
       python -m nmc_tpu campaign --family dcl16 --instances 100 \
       --only "$MISS" --replicas 32 --beta-max 32 --chunk-rounds 25 \
