@@ -38,15 +38,6 @@ from .exact_chimera import _S16, chimera_layout
 
 __all__ = ["comb_cells", "random_induced_tree", "tree_refine"]
 
-# nibble index i encodes 4 spins: bit k of i set -> spin_k = -1 (_S16)
-_BITS = ((np.arange(16)[:, None] >> np.arange(4)[None, :]) & 1)
-
-
-def _nibble(s4: np.ndarray) -> int:
-    """4 spins (+-1) -> nibble index under the _S16 convention."""
-    return int(np.sum((s4 < 0) << np.arange(4)))
-
-
 def comb_cells(rows: int, cols: int, variant: int) -> Set[Tuple[int, int]]:
     """Comb-shaped maximal induced cell tree, 8 symmetry variants.
 

@@ -20,15 +20,22 @@ register_chain() {
   rm -f "$STOP"
   # Rewrite the pid file keeping only still-alive pids, then append
   # ourselves — bounds PID-reuse confusion in bench's _quiesce_chains.
-  local f=/tmp/nmc_chain.pids live="" p
-  if [ -f "$f" ]; then
-    while read -r p; do
-      [ -n "$p" ] && kill -0 "$p" 2>/dev/null && live="$live$p
+  # Serialized under flock (ADVICE r4): two chains registering at once
+  # raced the read-modify-write and could drop each other's live pid,
+  # leaving bench unaware of a chain still holding the chip.
+  local f=/tmp/nmc_chain.pids
+  (
+    flock -w 30 9 || exit 0
+    local live="" p
+    if [ -f "$f" ]; then
+      while read -r p; do
+        [ -n "$p" ] && kill -0 "$p" 2>/dev/null && live="$live$p
 "
-    done < "$f"
-  fi
-  printf '%s' "$live" > "$f"
-  echo $$ >> "$f"
+      done < "$f"
+    fi
+    printf '%s' "$live" > "$f"
+    echo $$ >> "$f"
+  ) 9>"$f.lock"
 }
 
 check_stop() {

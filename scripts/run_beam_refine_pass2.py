@@ -158,9 +158,14 @@ def main(argv=None):
             # lower-energy deterministic seed shortens that tier's TTS
             # even when the strip descent stops short of the truth.
             os.makedirs(sdir, exist_ok=True)
-            np.savetxt(os.path.join(sdir, name),
+            # tmp+rename: this script runs under deadline gates that can
+            # kill it mid-write, and a truncated state file crashes every
+            # later seeded run at --init file (wrong spin count)
+            dst = os.path.join(sdir, name)
+            np.savetxt(dst + ".tmp",
                        np.where(s[:n_orig] >= 0, 1, -1).astype(np.int8),
                        fmt="%d")
+            os.replace(dst + ".tmp", dst)
         rec = {"name": name, "family": args.family,
                "beam": args.beam, "window": args.window,
                "e_int_start": e_int0,

@@ -98,12 +98,17 @@ def main():
     diff = mk.mean(0) - mx.mean(0)
     scatter = np.sqrt(mk.std(0) ** 2 + mx.std(0) ** 2) + 1e-6
     z = np.abs(diff) / np.maximum(scatter, 0.05 * np.abs(mx.mean(0)) + 1e-6)
-    out["distributional_check"] = {  # kept key "parity" before r4
+    # Key renamed from "parity" in r4 (a z-test is a distributional
+    # check, not draw-for-draw parity); both keys are emitted so any
+    # consumer of results/sharded_round_tpu.json reading the old name
+    # keeps working one deprecation round.
+    out["distributional_check"] = {
         "mean_abs_diff": float(np.abs(diff).mean()),
         "max_z": float(z.max()),
         "kernel_mean_cold": float(mk.mean(0)[-1]),
         "xla_mean_cold": float(mx.mean(0)[-1]),
     }
+    out["parity"] = out["distributional_check"]
     assert z.max() < 6.0, f"per-slot energy means diverge: max z {z.max()}"
 
     # ---- throughput --------------------------------------------------
