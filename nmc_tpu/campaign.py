@@ -667,6 +667,16 @@ def add_campaign_args(p):
                         "n - round(alpha*n) parsed from the instance "
                         "name (falls back to the spectral-gap estimate), "
                         "'auto' = spectral-gap estimate, or an integer")
+    p.add_argument("--refine", choices=["tree"], default=None,
+                   help="post-run deterministic refinement of the "
+                        "family's remaining misses from the saved state "
+                        "pools: 'tree' = induced-tree large-neighborhood "
+                        "descent (nmc_tpu/refine.py; grid families "
+                        "only). Rows go to results/tree_refine_"
+                        "<family>.jsonl (the coverage 'tree' tier)")
+    p.add_argument("--refine-ils", type=float, default=60.0,
+                   help="per-instance iterated-local-search budget (s) "
+                        "for --refine tree (2x2-cell-block kicks)")
     p.add_argument("--summarize", nargs="+", metavar="JSONL",
                    help="render a summary table from campaign result files "
                         "instead of running")
@@ -765,6 +775,15 @@ def run_campaign(args):
         tag = args.family or os.path.basename(args.folder.rstrip("/"))
         args.out = f"results/campaign/{tag}_{args.arm}.jsonl"
     run_arm(args)
+    if getattr(args, "refine", None) == "tree":
+        from .refine import grid_family_folders, refine_family
+        if args.family not in grid_family_folders():
+            print(f"--refine tree: {args.family or args.folder} is not a "
+                  "grid family; skipping", flush=True)
+            return
+        only = args.only.split(",") if args.only else None
+        refine_family(args.family, only=only,
+                      ils_seconds=getattr(args, "refine_ils", 60.0))
 
 
 def main(argv=None):

@@ -298,6 +298,38 @@ def cmd_solve(args):
                  or not np.isfinite(res.target_raw)) else 1
 
 
+def cmd_refine(args):
+    from .refine import refine_family, tree_refine_state
+
+    if args.family:
+        only = args.only.split(",") if args.only else None
+        hits, total = refine_family(
+            args.family, only=only,
+            skip_covered=not args.include_covered,
+            ils_seconds=args.ils_seconds,
+            extra_random=args.extra_random,
+            deadline=args.deadline, out=args.out)
+        return 0 if total == 0 or hits else 1
+
+    # single instance: --state seeds the descent
+    prob, target, kind, base = _detect_instance(args.path, args.kind,
+                                                args.target)
+    s0 = np.sign(np.loadtxt(args.state).reshape(-1))
+    e_raw, state, info = tree_refine_state(
+        prob, s0, target_raw=target, ils_seconds=args.ils_seconds,
+        extra_random=args.extra_random, deadline=args.deadline)
+    rec = dict(name=base, kind=kind, energy_raw=e_raw,
+               target_raw=target, **info)
+    line = json.dumps(rec, default=lambda o: None)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+    if args.save_state:
+        np.savetxt(args.save_state, state, fmt="%+d")
+    return 0 if info["hit"] in (True, None) else 1
+
+
 def cmd_exact(args):
     """Exact ground state (meet-in-the-middle on the MXU) — the
     capability the reference lacks: it ships ground truths, this derives
@@ -657,6 +689,34 @@ def main(argv=None):
     p.add_argument("--out", help="append the JSON record here")
     p.add_argument("--cpu", action="store_true")
     p.set_defaults(fn=cmd_beam)
+
+    p = sub.add_parser(
+        "refine",
+        help="deterministic induced-tree large-neighborhood descent "
+             "(Selby-style exact DP over maximal induced cell trees + "
+             "2x2-cell-block ILS kicks) over a family's remaining "
+             "misses from the saved beam/campaign states, or a single "
+             "instance from --state")
+    p.add_argument("path", nargs="?", default=None,
+                   help="single instance file (omit with --family)")
+    p.add_argument("--family", default=None,
+                   help="grid family (chimera*/dcl*): refine every "
+                        "not-yet-covered instance from the state pools")
+    p.add_argument("--only", help="comma-separated instance names")
+    p.add_argument("--include-covered", action="store_true",
+                   help="also refine instances another tier already hit")
+    p.add_argument("--state", help="±1 state file seeding the single-"
+                                   "instance descent")
+    p.add_argument("--kind", default="auto",
+                   choices=["auto", "chimera", "dcl"])
+    p.add_argument("--target", type=float, default=None,
+                   help="raw target energy (default: sibling gs files)")
+    p.add_argument("--ils-seconds", type=float, default=60.0)
+    p.add_argument("--extra-random", type=int, default=24)
+    p.add_argument("--deadline", type=float, default=None)
+    p.add_argument("--save-state", help="write the refined ±1 state here")
+    p.add_argument("--out", help="append JSONL rows here")
+    p.set_defaults(fn=cmd_refine)
 
     p = sub.add_parser("generate", help="write benchmark instances")
     p.add_argument("--kind", required=True,

@@ -92,7 +92,8 @@ def portfolio_solve(prob, target_raw: Optional[float] = None, *,
                     dm_starts: int = 2048, dm_iters: int = 3000,
                     spectral_polish: int = 8, max_spectral_n: int = 4096,
                     coloring: bool = False, out_jsonl: Optional[str] = None,
-                    mcmc_overrides: Optional[dict] = None) -> SolveResult:
+                    mcmc_overrides: Optional[dict] = None,
+                    tree="auto", tree_ils: float = 30.0) -> SolveResult:
     """Solve one Ising instance through the staged portfolio.
 
     `prob`: IsingProblem in raw units. `target_raw`: optional known
@@ -104,6 +105,10 @@ def portfolio_solve(prob, target_raw: Optional[float] = None, *,
     "auto" — auto runs the spectral stage only on dense cores (max
     degree > 16): spectral visibility is a dense-low-rank (Wishart-type)
     phenomenon, and the stage is pure overhead on chimera/DCL graphs.
+    `tree`: True | False | "auto" — deterministic induced-tree descent
+    (refine.tree_refine_state) on the best state when the target is
+    still unmet; "auto" probes the chimera/DCL grid layout and skips
+    non-grid instances. `tree_ils`: its ILS kick budget in seconds.
     """
     t_all = time.perf_counter()
     stages: List[SolveStage] = []
@@ -173,9 +178,32 @@ def portfolio_solve(prob, target_raw: Optional[float] = None, *,
             dict(hit_sweeps=rec.get("hit_sweeps"),
                  rounds=rec.get("rounds_completed"))))
 
-    if best_s is None:   # every stage disabled: return the all-up state
-        best_s = np.ones(prob.n)
+    if best_s is None:   # every search stage disabled/skipped: the
+        best_s = np.ones(prob.n)      # all-up state seeds what follows
         best_e = float(prob.energy(best_s))
+
+    if tree and not _hit(best_e, target_raw):
+        # deterministic induced-tree descent on the best state so far
+        # (grid families only; "auto" probes the layout and skips
+        # non-grid instances — the move class needs the chimera/DCL
+        # cell structure)
+        from .refine import tree_refine_state
+        t0 = time.perf_counter()
+        try:
+            e_t, s_t, info = tree_refine_state(
+                prob, best_s, target_raw=target_raw,
+                ils_seconds=tree_ils, seed=seed)
+        except ValueError:
+            if tree != "auto":
+                raise
+        else:
+            if e_t < best_e:
+                best_e, best_s = e_t, s_t
+            stages.append(SolveStage(
+                "tree", best_e, time.perf_counter() - t0,
+                _hit(best_e, target_raw),
+                dict(moves=info["moves"], ils_iters=info["ils_iters"])))
+
     return SolveResult(
         name=name, n=prob.n, energy_raw=best_e, state=best_s,
         target_raw=None if target_raw is None else float(target_raw),
