@@ -105,12 +105,33 @@ def _pack_words(groups, G):
     return words
 
 
-def _build_step(M, G, W):
+def _build_step(M, G, W, split=1):
+    """One beam-contraction step.
+
+    `split=1` is the single-pass variant: one 5-operand sort of M*256
+    elements (dedup by key), one 2-operand sort (top-M by energy).
+
+    `split=2^k > 1` is the two-pass merge for beams whose full
+    expansion sort exceeds the hardware-proven 2^24-element size (the
+    axon worker crashes on the 33.5M-element sort at beam 2^17): the
+    256 cell combos are processed in `split` chunks of 256/split, each
+    chunk sorted/deduped/truncated to its best M exactly like the
+    single-pass step, then the split*M survivors are merged with one
+    small cross-chunk dedup sort + top-M. Exactness: an entry dropped
+    by a chunk's truncation had >= M better DISTINCT keys within the
+    chunk, all of which remain better in the union after cross-chunk
+    dedup (merging duplicates only lowers energies), so it can never be
+    in the global top M; cross-chunk duplicate keys are deduped in the
+    merge. The kept (key, energy) set equals the single-pass step's
+    except on EXACT energy ties at the beam boundary / between
+    duplicate expansions, where either choice is an equally valid beam
+    (the DP energies of kept states are exact either way).
+    """
     import jax
     import jax.numpy as jnp
 
-    combo = jnp.arange(256, dtype=jnp.int32)
-    V_c, H_c = combo >> 4, combo & 15
+    assert 256 % split == 0
+    C = 256 // split                              # combos per chunk
 
     def step(carry, xs):
         groups, E = carry                         # [M, G] i32, [M] i32
@@ -119,44 +140,76 @@ def _build_step(M, G, W):
                                            keepdims=False)
         hl = groups[:, G - 1]
         delta = trans[vup * 16 + hl]              # [M, 256]
-        E_exp = (E[:, None] + delta).reshape(-1)  # [M*256]
 
         # expansion keys: parent key with nibble c <- V, nibble W <- H
         onehot_c = (jnp.arange(G, dtype=jnp.int32) == c)
         cleared = jnp.where(onehot_c[None, :], 0, groups)
         cleared = cleared.at[:, G - 1].set(0)
         words = _pack_words(cleared, G)           # per-word base keys
-        V_eff = jnp.where(zero_v, 0, V_c)         # [256]
-        H_eff = jnp.where(zero_h, 0, H_c)
-        exp_words = []
-        for w, kw in enumerate(words):
-            # V contribution lands in word c//8 at nibble 4*(c%8)
-            in_w = (c // 8) == w
-            v_shift = (4 * (c % 8)).astype(jnp.uint32)
-            v_add = jnp.where(in_w,
-                              V_eff.astype(jnp.uint32) << v_shift,
-                              jnp.uint32(0))      # [256]
-            if (G - 1) // 8 == w:                 # H slot is static
-                h_add = H_eff.astype(jnp.uint32) \
-                    << np.uint32(4 * ((G - 1) % 8))
-            else:
-                h_add = jnp.zeros(256, jnp.uint32)
-            exp_words.append(
-                (kw[:, None] | v_add[None, :] | h_add[None, :])
-                .reshape(-1))                     # [M*256]
 
-        idx = jnp.arange(M * 256, dtype=jnp.int32)
-        ops = exp_words + [E_exp, idx]
-        srt = jax.lax.sort(ops, num_keys=len(exp_words) + 1)
-        kws, E_s, idx_s = srt[:-2], srt[-2], srt[-1]
-        diff = jnp.zeros(M * 256 - 1, bool)
-        for kw in kws:
-            diff = diff | (kw[1:] != kw[:-1])
-        first = jnp.concatenate([jnp.ones(1, bool), diff])
-        E_d = jnp.where(first, E_s, _INF)
-        # keep the best M by energy
-        E_f, idx_f = jax.lax.sort([E_d, idx_s], num_keys=1)
-        E_new, keep = E_f[:M], idx_f[:M]
+        def expand_sort(off):
+            """Sort/dedup/top-M the expansion chunk combos [off, off+C)."""
+            combo = jnp.arange(off, off + C, dtype=jnp.int32)
+            V_eff = jnp.where(zero_v, 0, combo >> 4)      # [C]
+            H_eff = jnp.where(zero_h, 0, combo & 15)
+            E_exp = (E[:, None] + delta[:, off:off + C]).reshape(-1)
+            exp_words = []
+            for w, kw in enumerate(words):
+                # V contribution lands in word c//8 at nibble 4*(c%8)
+                in_w = (c // 8) == w
+                v_shift = (4 * (c % 8)).astype(jnp.uint32)
+                v_add = jnp.where(in_w,
+                                  V_eff.astype(jnp.uint32) << v_shift,
+                                  jnp.uint32(0))  # [C]
+                if (G - 1) // 8 == w:             # H slot is static
+                    h_add = H_eff.astype(jnp.uint32) \
+                        << np.uint32(4 * ((G - 1) % 8))
+                else:
+                    h_add = jnp.zeros(C, jnp.uint32)
+                exp_words.append(
+                    (kw[:, None] | v_add[None, :] | h_add[None, :])
+                    .reshape(-1))                 # [M*C]
+            # global expansion index parent*256 + combo (ties must break
+            # identically across split settings)
+            idx = (jnp.arange(M, dtype=jnp.int32)[:, None] * 256
+                   + combo[None, :]).reshape(-1)
+            ops = exp_words + [E_exp, idx]
+            srt = jax.lax.sort(ops, num_keys=len(exp_words) + 1)
+            kws, E_s, idx_s = srt[:-2], srt[-2], srt[-1]
+            diff = jnp.zeros(M * C - 1, bool)
+            for kw in kws:
+                diff = diff | (kw[1:] != kw[:-1])
+            first = jnp.concatenate([jnp.ones(1, bool), diff])
+            E_d = jnp.where(first, E_s, _INF)
+            if split == 1:
+                ops2 = [E_d, idx_s]
+            else:
+                # carry the key words through the energy sort so the
+                # cross-chunk merge can dedup without re-deriving them
+                ops2 = [E_d, *kws, idx_s]
+            srt2 = jax.lax.sort(ops2, num_keys=1)
+            return [o[:M] for o in srt2]
+
+        if split == 1:
+            E_new, keep = expand_sort(0)
+        else:
+            chunks = [expand_sort(k * C) for k in range(split)]
+            E_cat = jnp.concatenate([ch[0] for ch in chunks])
+            kw_cat = [jnp.concatenate([ch[1 + w] for ch in chunks])
+                      for w in range(len(words))]
+            idx_cat = jnp.concatenate([ch[-1] for ch in chunks])
+            # cross-chunk dedup: sort by (keys, energy, idx), keep the
+            # first (= lowest-energy, lowest-idx) entry per key
+            srt = jax.lax.sort(kw_cat + [E_cat, idx_cat],
+                               num_keys=len(kw_cat) + 1)
+            kws, E_s, idx_s = srt[:-2], srt[-2], srt[-1]
+            diff = jnp.zeros(split * M - 1, bool)
+            for kw in kws:
+                diff = diff | (kw[1:] != kw[:-1])
+            first = jnp.concatenate([jnp.ones(1, bool), diff])
+            E_d = jnp.where(first, E_s, _INF)
+            E_f, idx_f = jax.lax.sort([E_d, idx_s], num_keys=1)
+            E_new, keep = E_f[:M], idx_f[:M]
         parents, combos = keep // 256, keep % 256
 
         g_new = groups[parents]
@@ -171,14 +224,14 @@ def _build_step(M, G, W):
 
 
 @lru_cache(maxsize=32)
-def _get_runner(M, G, W):
-    """One jitted scan program per (beam, grid-width) shape — reused
-    across instances and window sub-solves so the 30-130 s axon compile
-    is paid once per shape, not per call."""
+def _get_runner(M, G, W, split=1):
+    """One jitted scan program per (beam, grid-width, split) shape —
+    reused across instances and window sub-solves so the 30-130 s axon
+    compile is paid once per shape, not per call."""
     import jax
     import jax.numpy as jnp
 
-    step = _build_step(M, G, W)
+    step = _build_step(M, G, W, split)
 
     @jax.jit
     def run(trans_dev, c_seq, zero_v, zero_h):
@@ -195,8 +248,16 @@ def solve_beam_chimera_tpu(prob, rows: Optional[int] = None,
                            cols: Optional[int] = None,
                            beam: int = 1 << 17,
                            q_max: int = 10000,
-                           verify: bool = True):
-    """Device beam solve. Returns (energy_f64, state, info)."""
+                           verify: bool = True,
+                           split: Optional[int] = None):
+    """Device beam solve. Returns (energy_f64, state, info).
+
+    `split=None` (auto) chunks the per-cell expansion sort so no single
+    sort exceeds the hardware-proven 2^24 elements (beam 2^16 x 256):
+    beam 2^17+ runs as the two-pass sort-merge of `_build_step`
+    instead of the 33.5M-element single sort that crashes the axon
+    worker. Pass `split=1` to force the single-pass program.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -213,7 +274,11 @@ def solve_beam_chimera_tpu(prob, rows: Optional[int] = None,
     zero_v = (r_seq == rows - 1)
     zero_h = (c_seq == W - 1)
 
-    run = _get_runner(M, G, W)
+    if split is None:
+        split = 1
+        while M * (256 // split) > (1 << 24):
+            split *= 2
+    run = _get_runner(M, G, W, split)
     E_fin, parents, combos = run(jnp.asarray(trans), jnp.asarray(c_seq),
                                  jnp.asarray(zero_v), jnp.asarray(zero_h))
     E_fin = np.asarray(E_fin)
@@ -241,4 +306,4 @@ def solve_beam_chimera_tpu(prob, rows: Optional[int] = None,
                 + float(np.abs(h - hq / q).sum()))
         assert abs(e - e_q / q) <= snap + 1e-6 * max(1.0, abs(e)), \
             f"device DP/backtrack mismatch: {e_q / q} vs {e}"
-    return e, s, {"beam": M, "q": q, "e_int": e_q}
+    return e, s, {"beam": M, "q": q, "e_int": e_q, "split": split}

@@ -112,6 +112,53 @@ def test_device_beam_parity_int_dp():
     assert info["e_int"] == int(round(e_ref * 8))
 
 
+@pytest.mark.parametrize("split", [2, 4])
+def test_device_beam_split_merge_matches_single_pass(split):
+    """The two-pass sort-merge (split>1, the beam-2^17 path on TPU)
+    keeps the same optimal energy and a valid state as the single-pass
+    program, and still matches the dense exact DP when unpruned."""
+    from nmc_tpu import IsingProblem
+    from nmc_tpu.beam_chimera_tpu import solve_beam_chimera_tpu
+    from nmc_tpu.exact_chimera import solve_exact_chimera
+
+    p0 = synth_chimera(3, 2, seed=11)
+    prob = IsingProblem(np.round(np.asarray(p0.J) * 4) / 8,
+                        np.round(np.asarray(p0.h) * 4) / 8)
+    e_ref, _ = solve_exact_chimera(prob, rows=3, cols=2)
+    e1, s1, i1 = solve_beam_chimera_tpu(prob, rows=3, cols=2, beam=4096,
+                                        split=1)
+    e2, s2, i2 = solve_beam_chimera_tpu(prob, rows=3, cols=2, beam=4096,
+                                        split=split)
+    assert i1["split"] == 1 and i2["split"] == split
+    assert abs(e1 - e_ref) < 1e-9 and abs(e2 - e_ref) < 1e-9
+    assert i1["e_int"] == i2["e_int"]
+    assert abs(float(prob.energy(s2)) - e2) < 1e-9
+
+
+def test_device_beam_split_auto_policy():
+    """split=None chunks so no sort exceeds 2^24 elements."""
+    from nmc_tpu.beam_chimera_tpu import solve_beam_chimera_tpu
+    from nmc_tpu import IsingProblem
+
+    p0 = synth_chimera(2, 2, seed=12)
+    prob = IsingProblem(np.round(np.asarray(p0.J) * 4) / 8,
+                        np.round(np.asarray(p0.h) * 4) / 8)
+    # tiny beams stay single-pass
+    _, _, info = solve_beam_chimera_tpu(prob, rows=2, cols=2, beam=256)
+    assert info["split"] == 1
+    # the auto rule itself (no giant solve on CPU): 2^17*256 -> split 2
+    M = 1 << 17
+    split = 1
+    while M * (256 // split) > (1 << 24):
+        split *= 2
+    assert split == 2
+    M = 1 << 18
+    split = 1
+    while M * (256 // split) > (1 << 24):
+        split *= 2
+    assert split == 4
+
+
 def test_device_beam_5decimal_print_rounding():
     """DCL files print k/7 couplings at FIVE decimals (0.14286), so the
     file-vs-snapped energy gap is ~2.9e-6/edge — larger than the

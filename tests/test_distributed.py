@@ -64,7 +64,13 @@ elif what == "ensemble_nmc":
     # interpret-mode pallas_call inside shard_map DEADLOCKS in a
     # multi-process runtime (the interpreter is not SPMD-safe); the
     # kernel path is covered by single-process interpret tests
-    # (test_round_pallas.py) and on real TPU hardware.
+    # (test_round_pallas.py) and on real TPU hardware. A COMPILED
+    # (non-interpret) Pallas run under this 2-process CPU mesh was
+    # retried in round 5 and is a toolchain impossibility, not a skip:
+    # jax 0.9.0's CPU backend raises "Only interpret mode is supported
+    # on CPU backend" from pallas_call lowering — multi-process kernel
+    # validation therefore requires a multi-chip TPU runtime, which
+    # this environment does not provide.
     from nmc_tpu.parallel.ensemble_nmc import EnsembleNMC
     from nmc_tpu.parallel.sharded_pt import ShardedNPTConfig
     probs = [ea_2d(6, seed=s).normalized()[0] for s in range(8)]
