@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--orientations", type=int, default=2)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated instance names (e.g. the "
+                         "2^16 sweep's near-misses for a 2^17 pass)")
     ap.add_argument("--deadline", type=float, default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-states", default=None)
@@ -82,9 +85,12 @@ def main(argv=None):
                       sub, rows=R, cols=w,
                       beam=1 << args.refine_beam)[:2]))
 
+    only = set(args.only.split(",")) if args.only else None
     total = hits = 0
     for name, prob, gs in it:
         if name in done:
+            continue
+        if only is not None and name not in only:
             continue
         if args.deadline and time.time() > args.deadline:
             print("DEADLINE reached, stopping cleanly")
@@ -155,9 +161,20 @@ def main(argv=None):
             total += 1
             continue
         if args.save_states:
+            # tmp+rename (a deadline-gate kill mid-write must not corrupt
+            # the seed pool) and never clobber a BETTER state another
+            # tier (tree refine, a wider beam) already parked there
             os.makedirs(args.save_states, exist_ok=True)
-            np.savetxt(os.path.join(args.save_states, name),
-                       best_s.astype(np.int8), fmt="%d")
+            dst = os.path.join(args.save_states, name)
+            write = True
+            if os.path.exists(dst):
+                s_old = np.ones(solve_prob.n, np.int64)
+                old = np.sign(np.loadtxt(dst).reshape(-1)).astype(np.int64)
+                s_old[:old.size] = old
+                write = best_int < int_energy(Jq, hq, s_old)
+            if write:
+                np.savetxt(dst + ".tmp", best_s.astype(np.int8), fmt="%d")
+                os.replace(dst + ".tmp", dst)
         hit = (None if target_int is None else bool(best_int <= target_int))
         total += 1
         hits += bool(hit)
