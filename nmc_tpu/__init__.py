@@ -43,7 +43,7 @@ from .beam_chimera import (pad_to_chimera_grid, refine_strips,
                            solve_beam_chimera, solve_beam_chimera_multi)
 from .beam_chimera_tpu import solve_beam_chimera_tpu
 from .portfolio import SolveResult, SolveStage, portfolio_solve
-from .refine import refine_family, tree_refine_state
+from .refine import partition_crossover, refine_family, tree_refine_state
 from .tree_moves import tree_refine
 
 __version__ = "0.1.0"
@@ -65,6 +65,7 @@ __all__ = [
     "Presolve", "peel_leaves",
     "SolveResult", "SolveStage", "portfolio_solve",
     "tree_refine", "tree_refine_state", "refine_family",
+    "partition_crossover",
     "solve_exact_host", "solve_exact_device", "solve_exact_pallas",
     "solve_exact_enum", "exact_energy_bound", "solve_exact_chimera",
     "solve_beam_chimera", "solve_beam_chimera_multi",

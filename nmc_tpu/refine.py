@@ -30,7 +30,72 @@ from typing import Dict, Iterable, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["tree_refine_state", "refine_family", "grid_family_folders"]
+__all__ = ["tree_refine_state", "refine_family", "grid_family_folders",
+           "partition_crossover"]
+
+
+def partition_crossover(prob, s_a, s_b):
+    """Exact best recombination of two states (partition crossover).
+
+    The disagreement set D = {i : s_a[i] != s_b[i]} splits into
+    connected components of the J-subgraph induced on D. Any J edge
+    whose endpoints BOTH disagree lies inside one component by
+    construction, so no edge joins two distinct components and the
+    energy is exactly separable across the per-component choice of
+    parent. The returned offspring takes, per component, whichever
+    parent is lower — the optimum of all 2^k recombinations, computed
+    in O(n + nnz). Offspring energy <= min(E(s_a), E(s_b)) always.
+
+    This is the deterministic, exactly-optimal counterpart of the
+    Houdayer exchange move (`ops/clusters.py`): where ICM flips ONE
+    disagreement cluster stochastically, this flips the optimal subset
+    of all of them. Used to compose the beam tier's state with a
+    campaign arm's best state per instance (reference truths:
+    Chimera_droplet_instances/*/groundstates_otn2d.txt).
+
+    Returns (energy_raw, offspring_state, n_components_taken).
+    """
+    J = np.asarray(prob.J, np.float64)
+    h = np.asarray(prob.h, np.float64)
+    a = np.where(np.asarray(s_a, np.float64).reshape(-1) >= 0, 1.0, -1.0)
+    b = np.where(np.asarray(s_b, np.float64).reshape(-1) >= 0, 1.0, -1.0)
+    d = a != b
+    if not d.any():
+        return float(prob.energy(a)), a, 0
+
+    # label disagreement components (union-find over edges inside D)
+    idx = np.flatnonzero(d)
+    pos = -np.ones(a.size, np.int64)
+    pos[idx] = np.arange(idx.size)
+    parent = np.arange(idx.size)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ii, jj = np.nonzero(J[np.ix_(idx, idx)])
+    for u, v in zip(ii, jj):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    labels = np.fromiter((find(k) for k in range(idx.size)), np.int64,
+                         idx.size)
+
+    # dE of flipping component C in a: 2 sum_{i in C} a_i phi_i
+    #                                  - 2 sum_{i,j in C} J_ij a_i a_j
+    phi = J @ a + h
+    off = a.copy()
+    taken = 0
+    for lab in np.unique(labels):
+        comp = idx[labels == lab]
+        lin = 2.0 * float(np.sum(a[comp] * phi[comp]))
+        quad = 2.0 * float(a[comp] @ J[np.ix_(comp, comp)] @ a[comp])
+        if lin - quad < 0.0:
+            off[comp] = b[comp]
+            taken += 1
+    return float(prob.energy(off)), off, taken
 
 
 def grid_family_folders() -> Dict[str, str]:

@@ -78,6 +78,13 @@ def scan_family(fam):
             if r.get("hit"):
                 add("tree", r["name"])
 
+    # partition-crossover composition tier (nmc_tpu/refine.py:
+    # exact recombination of beam x campaign best states + tree descent)
+    for p in glob.glob(f"results/px_{fam}*.jsonl"):
+        for r in _iter_jsonl(p):
+            if r.get("hit"):
+                add("px", r["name"])
+
     # stochastic campaign arms (all seeds/budgets, incl. crash partials)
     for p in (glob.glob(f"results/campaign/{fam}_*.jsonl")
               + glob.glob(f"results/campaign/{fam}_*.jsonl.partial")):

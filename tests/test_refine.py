@@ -85,6 +85,73 @@ def test_portfolio_tree_stage_runs_on_chimera():
     assert res.energy_raw <= 0.0  # descended well below the all-up state
 
 
+def test_partition_crossover_is_optimal_recombination():
+    """Offspring must equal the best of all 2^k per-component parent
+    choices (brute-forced here), and never exceed either parent."""
+    from itertools import product
+
+    from nmc_tpu.refine import partition_crossover
+
+    rng = np.random.default_rng(7)
+    # sparse ring-of-cliques so disagreement splits into components
+    n = 24
+    J = np.zeros((n, n))
+    for b in range(0, n, 4):
+        blk = rng.normal(size=(4, 4))
+        J[b:b + 4, b:b + 4] = (blk + blk.T) / 2
+        J[b + 3, (b + 4) % n] = J[(b + 4) % n, b + 3] = rng.normal()
+    np.fill_diagonal(J, 0)
+    prob = IsingProblem(J, rng.normal(size=n) * 0.1)
+
+    for trial in range(5):
+        s_a = rng.choice([-1.0, 1.0], size=n)
+        s_b = rng.choice([-1.0, 1.0], size=n)
+        e_off, off, taken = partition_crossover(prob, s_a, s_b)
+        assert abs(float(prob.energy(off)) - e_off) < 1e-9
+        assert e_off <= float(prob.energy(s_a)) + 1e-9
+        assert e_off <= float(prob.energy(s_b)) + 1e-9
+        # brute force every per-component recombination
+        d = s_a != s_b
+        idx = np.flatnonzero(d)
+        if idx.size == 0:
+            continue
+        # component labels via simple BFS on the induced subgraph
+        labels = -np.ones(n, int)
+        lab = 0
+        for i in idx:
+            if labels[i] >= 0:
+                continue
+            stack = [i]
+            labels[i] = lab
+            while stack:
+                u = stack.pop()
+                for v in np.flatnonzero(J[u]):
+                    if d[v] and labels[v] < 0:
+                        labels[v] = lab
+                        stack.append(v)
+            lab += 1
+        best = np.inf
+        comps = [idx[labels[idx] == k] for k in range(lab)]
+        for choice in product([0, 1], repeat=lab):
+            s = s_a.copy()
+            for k, c in enumerate(choice):
+                if c:
+                    s[comps[k]] = s_b[comps[k]]
+            best = min(best, float(prob.energy(s)))
+        assert abs(e_off - best) < 1e-9
+
+
+def test_partition_crossover_identical_parents():
+    from nmc_tpu.refine import partition_crossover
+    rng = np.random.default_rng(8)
+    J = np.zeros((8, 8))
+    J[0, 1] = J[1, 0] = 1.0
+    prob = IsingProblem(J, np.zeros(8))
+    s = rng.choice([-1.0, 1.0], size=8)
+    e, off, taken = partition_crossover(prob, s, s)
+    assert taken == 0 and np.array_equal(off, s)
+
+
 @needs_ref
 def test_cli_refine_single_instance(tmp_path):
     from nmc_tpu.cli import main as cli_main
